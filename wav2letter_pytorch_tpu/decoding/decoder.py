@@ -1,0 +1,269 @@
+"""CTC decoders and string metrics (host-side, numpy in / strings out).
+
+Parity surface: /root/reference/decoder.py —
+* ``Decoder`` base with WER/CER/ratio metrics (decoder.py:11-82)
+* ``GreedyDecoder`` argmax + collapse-repeats + per-char offsets (decoder.py:85-145)
+* ``prefix_beam_search`` probability-space CTC prefix beam search with
+  LM-at-word-boundary weighting and word-count length bonus (decoder.py:147-233)
+* ``PrefixBeamSearchLMDecoder`` with a lazy kenlm import seam (decoder.py:235-267)
+* ``get_time_per_word`` char offsets -> (word, start, end) (decoder.py:270-302)
+
+Design notes (TPU build): decoding is string-keyed dynamic programming with
+host LM callbacks — XLA-hostile — so it stays on host and consumes logits
+streamed off-device. Everything here is torch-free: inputs are numpy arrays
+(or anything ``np.asarray`` accepts, including JAX arrays).
+Edit distance is the native C++ kernel in native/levenshtein.cpp.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from . import levenshtein
+from ..data.label_sets import resolve_labels
+
+_WORD_RE = re.compile(r'\w+[\s|>]')
+
+
+class Decoder:
+    """Base decoder: label bookkeeping + string metrics.
+
+    Args:
+        labels: list of characters (or a label-set name, resolved via
+            ``label_sets.labels_map``).
+        blank_index: index of the CTC blank. Defaults to 0.
+    """
+
+    def __init__(self, labels, blank_index: int = 0):
+        # NOTE: the reference builds int_to_char from the *raw* ctor arg, so
+        # passing a set name would index the characters of the name
+        # (reference decoder.py:23-24, latent bug). We resolve first.
+        self.labels = resolve_labels(labels)
+        self.int_to_char = dict(enumerate(self.labels))
+        self.blank_index = blank_index
+        # Out-of-bounds sentinel when no space exists, as in the reference.
+        self.space_index = (self.labels.index(' ') if ' ' in self.labels
+                            else len(self.labels))
+
+    # --- metrics -------------------------------------------------------
+    def wer(self, s1: str, s2: str) -> int:
+        """Word-level edit distance between two space-separated sentences."""
+        vocab = {w: i for i, w in enumerate(set(s1.split() + s2.split()))}
+        w1 = [vocab[w] for w in s1.split()]
+        w2 = [vocab[w] for w in s2.split()]
+        return levenshtein.distance(w1, w2)
+
+    def cer(self, s1: str, s2: str) -> int:
+        """Character-level edit distance, ignoring spaces."""
+        return levenshtein.distance(s1.replace(' ', ''), s2.replace(' ', ''))
+
+    def cer_ratio(self, expected: str, predicted: str):
+        """(distance, denominator) pair for corpus-level aggregation."""
+        return self.cer(expected, predicted), len(expected.replace(' ', ''))
+
+    def wer_ratio(self, expected: str, predicted: str):
+        return self.wer(expected, predicted), len(expected.split())
+
+    # --- decoding ------------------------------------------------------
+    def decode(self, probs, sizes=None):
+        """Return the decoder's best transcription guess for ``probs``."""
+        raise NotImplementedError
+
+
+class GreedyDecoder(Decoder):
+    """Argmax decoding: collapse repeats, strip blanks, report offsets."""
+
+    def process_sequence(self, sequence, size: int):
+        """Collapse one argmax id sequence into a string + per-char offsets."""
+        chars = []
+        offsets = []
+        prev = None
+        for i in range(int(size)):
+            idx = int(sequence[i])
+            if idx != self.blank_index:
+                if prev is not None and idx == prev:
+                    pass  # collapsed repeat
+                elif idx == self.space_index:
+                    chars.append(' ')
+                    offsets.append(i)
+                else:
+                    chars.append(self.int_to_char[idx])
+                    offsets.append(i)
+            prev = idx
+        return ''.join(chars), np.asarray(offsets, dtype=np.int32)
+
+    def decode(self, probs, sizes=None, return_offsets: bool = False):
+        """Decode a [T, L] matrix or [B, T, L] batch of probabilities.
+
+        Returns a list of strings (one per batch element), plus per-char
+        time offsets when ``return_offsets`` is set.
+        """
+        probs = np.asarray(probs)
+        if probs.ndim == 2:
+            probs = probs[None]
+        ids = np.argmax(probs, axis=2)
+        strings, offsets = [], []
+        for b in range(ids.shape[0]):
+            size = int(sizes[b]) if sizes is not None else ids.shape[1]
+            s, off = self.process_sequence(ids[b], size)
+            strings.append(s)
+            offsets.append(off)
+        if return_offsets:
+            return strings, offsets
+        return strings
+
+
+def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
+                       alpha: float = 0.3, beta: float = 5, prune: float = 0.001,
+                       end_char: str = '>', return_weights: bool = False):
+    """CTC prefix beam search (probability space) with optional LM fusion.
+
+    The classic algorithm (Hannun et al., 2014): maintain, per prefix, the
+    probability mass of paths ending in blank (``p_b``) vs non-blank
+    (``p_nb``); extend with every character whose per-step emission exceeds
+    ``prune``; weight word completions (space or ``end_char``) by
+    ``lm(prefix)**alpha``; rank beams by total mass times the word-count
+    bonus ``(num_words + 1)**beta``.
+
+    Parity surface: /root/reference/decoder.py:147-233 (same argument
+    surface, same bookkeeping incl. the "discarded prefixes" re-merge step).
+
+    Args:
+        ctc: [T, L] array of per-step label *probabilities* (must be >= 0).
+        labels: list of characters aligned with the L axis.
+        lm: callable str -> probability, or None (constant 1).
+    Returns:
+        The decoded string; with ``return_weights``, a (string, score) pair.
+    """
+    ctc = np.asarray(ctc)
+    assert ctc.ndim == 2, f'expected [T, L], got shape {ctc.shape}'
+    assert ctc.shape[1] == len(labels), (
+        f'ctc width {ctc.shape[1]} != len(labels) {len(labels)}')
+    assert ctc.shape[0] > 1, f'ctc length {ctc.shape[0]} too short'
+    assert (ctc >= 0).all(), 'ctc must be probabilities (non-negative)'
+    lm = (lambda _: 1) if lm is None else lm
+    num_words = lambda s: len(_WORD_RE.findall(s))
+    blank_char = labels[blank_index]
+
+    # Sentinel zero row so indexing starts at t=1 ("previous step" always exists).
+    ctc = np.vstack([np.zeros(ctc.shape[1]), ctc])
+    T = ctc.shape[0]
+
+    p_b = defaultdict(Counter)   # p_b[t][prefix]
+    p_nb = defaultdict(Counter)  # p_nb[t][prefix]
+    p_b[0][''] = 1.0
+    p_nb[0][''] = 0.0
+    beams = ['']
+    scores = None
+
+    for t in range(1, T):
+        step = ctc[t]
+        candidates = [(int(i), labels[int(i)]) for i in np.where(step > prune)[0]]
+        for prefix in beams:
+            if prefix and prefix[-1] == end_char:
+                # Sentence already terminated: carry mass unchanged.
+                p_b[t][prefix] = p_b[t - 1][prefix]
+                p_nb[t][prefix] = p_nb[t - 1][prefix]
+                continue
+            prev_total = p_b[t - 1][prefix] + p_nb[t - 1][prefix]
+            for c_ix, c in candidates:
+                p_c = step[c_ix]
+                if c == blank_char:
+                    p_b[t][prefix] += step[blank_index] * prev_total
+                    continue
+                extended = prefix + c
+                if prefix and c == prefix[-1]:
+                    # Repeat char: extend only from blank-terminated paths;
+                    # same-char continuation stays on the shorter prefix.
+                    p_nb[t][extended] += p_c * p_b[t - 1][prefix]
+                    p_nb[t][prefix] += p_c * p_nb[t - 1][prefix]
+                elif prefix.replace(' ', '') and c in (' ', end_char):
+                    # Word boundary: apply the language model.
+                    lm_prob = lm(extended.strip(' ' + end_char)) ** alpha
+                    p_nb[t][extended] += lm_prob * p_c * prev_total
+                else:
+                    p_nb[t][extended] += p_c * prev_total
+                if extended not in beams:
+                    # Re-merge mass of prefixes that fell off the beam.
+                    p_b[t][extended] += step[blank_index] * (
+                        p_b[t - 1][extended] + p_nb[t - 1][extended])
+                    p_nb[t][extended] += p_c * p_nb[t - 1][extended]
+
+        scores = p_b[t] + p_nb[t]
+        rank = lambda s: scores[s] * (num_words(s) + 1) ** beta
+        beams = sorted(scores, key=rank, reverse=True)[:k]
+
+    if not beams:
+        beams = ['']
+    best = beams[0]
+    if return_weights:
+        return best, scores[best] * (num_words(best) + 1) ** beta
+    return best
+
+
+class PrefixBeamSearchLMDecoder(Decoder):
+    """Beam-search decoder with an optional kenlm ARPA language model.
+
+    Args mirror /root/reference/decoder.py:235-257. ``lm_path`` may be empty
+    (no LM); kenlm is imported lazily so the dependency is optional.
+    """
+
+    def __init__(self, lm_path, labels, blank_index: int = 0, k: int = 5,
+                 alpha: float = 0.3, beta: float = 5, prune: float = 1e-3):
+        super().__init__(labels, blank_index)
+        if lm_path:
+            import kenlm  # lazy: only needed when an LM is actually used
+            self._lm_model = kenlm.Model(lm_path)
+            self.lm_weigh = lambda s: 10 ** self._lm_model.score(s)
+        else:
+            self.lm_weigh = lambda s: 1
+        self.k = k
+        self.alpha = alpha
+        self.beta = beta
+        self.prune = prune
+
+    def decode(self, probs, sizes=None, return_offsets: bool = False):
+        if return_offsets:
+            raise NotImplementedError(
+                'Prefix beam search does not support offsets (yet).')
+        probs = np.asarray(probs)
+        if probs.ndim == 2:
+            return prefix_beam_search(probs, self.labels, self.blank_index,
+                                      self.lm_weigh, self.k, self.alpha,
+                                      self.beta, self.prune)
+        if probs.ndim == 3:
+            return [self.decode(p) for p in probs]
+        raise RuntimeError(
+            f'Decoding with wrong shape: {probs.shape}, expected '
+            '[Batch x Frames x Labels] or [Frames x Labels]')
+
+
+def get_time_per_word(predictions, offsets, ratio: float = 1.0):
+    """Convert per-char decoder offsets into (word, start, end) tuples.
+
+    ``ratio`` converts frame offsets to seconds; for the standard frontend it
+    equals window_stride (seconds) x model scaling factor. End times use the
+    first occurrence of a word's last character (matching the reference,
+    /root/reference/decoder.py:270-302).
+    """
+    assert len(predictions) == len(offsets)
+    word_times = []
+    current, start, end = '', -1, -1
+    for letter, offset in zip(predictions, offsets):
+        if letter == ' ':
+            if current:
+                word_times.append((current, start, end))
+                current, start, end = '', -1, -1
+            continue
+        if current:
+            end = offset * ratio
+            current += letter
+        else:
+            start = end = offset * ratio
+            current = letter
+    if current:
+        word_times.append((current, start, end))
+    return word_times
