@@ -78,6 +78,7 @@ class MaskedConv(nn.Module):
     use_bias: bool = False
     use_mask: bool = True
     init_mode: str = 'xavier_uniform'
+    precision: str | None = None
 
     def out_length(self, lens):
         return (lens + 2 * self.padding
@@ -103,6 +104,7 @@ class MaskedConv(nn.Module):
                     kernel_dilation=(self.dilation,),
                     padding=[(self.padding, self.padding)],
                     feature_group_count=groups, use_bias=self.use_bias,
+                    precision=self.precision,
                     kernel_init=conv_initializer(self.init_mode))(x)
 
         if self.heads != -1:
@@ -139,6 +141,7 @@ class JasperBlock(nn.Module):
     dense_residual: bool = False
     conv_mask: bool = False
     init_mode: str = 'xavier_uniform'
+    precision: str | None = None
 
     def _norm(self, x, name: str, *, train: bool):
         ng = self.norm_groups
@@ -167,11 +170,13 @@ class JasperBlock(nn.Module):
                                  groups=x.shape[-1], heads=self.heads,
                                  padding=pad, use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
+                                 precision=self.precision,
                                  name=f'{idx}_dw')(x, lens)
             x, lens = MaskedConv(features=out_ch, kernel_size=1,
                                  groups=self.groups, padding=0,
                                  use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
+                                 precision=self.precision,
                                  name=f'{idx}_pw')(x, lens)
         else:
             x, lens = MaskedConv(features=out_ch, kernel_size=kernel,
@@ -179,6 +184,7 @@ class JasperBlock(nn.Module):
                                  groups=self.groups, heads=self.heads,
                                  padding=pad, use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
+                                 precision=self.precision,
                                  name=f'{idx}_conv')(x, lens)
         x = self._norm(x, f'{idx}_norm', train=train)
         if self.groups > 1:
@@ -229,6 +235,7 @@ class Jasper(nn.Module):
     num_labels: int
     mid_layers: int = 1
     init_mode: str = 'xavier_uniform'
+    precision: str | None = None
 
     @property
     def scaling_factor(self) -> int:
@@ -266,6 +273,7 @@ class Jasper(nn.Module):
                 dense_residual=dense,
                 conv_mask=bool(b.get('conv_mask', True)),
                 init_mode=self.init_mode,
+                precision=self.precision,
                 name=f'block{i}')
             out, lens = block(panes, lens, train=train)
             panes = panes + [out] if dense else [out]
@@ -273,7 +281,7 @@ class Jasper(nn.Module):
 
         x = nn.Conv(self.num_labels, (1,), use_bias=True,
                     kernel_init=conv_initializer(self.init_mode),
-                    name='head')(x)
+                    precision=self.precision, name='head')(x)
         # log-probs in training, true probabilities in eval — the eval
         # output feeds prob-space beam search (reference jasper.py:470-473).
         out = nn.log_softmax(x, axis=-1) if train else nn.softmax(x, axis=-1)

@@ -35,6 +35,7 @@ class Conv1dBlock(nn.Module):
     use_bn: bool = True
     use_activation: bool = True
     init_mode: str = 'xavier_uniform'
+    precision: str | None = None   # None = fast bf16 MXU path; 'highest' = full f32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -45,7 +46,7 @@ class Conv1dBlock(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size,),
                     strides=(self.stride,),
                     kernel_dilation=(self.dilation,),
-                    padding='VALID', use_bias=True,
+                    padding='VALID', use_bias=True, precision=self.precision,
                     kernel_init=conv_initializer(self.init_mode))(x)
         if self.use_bn:
             # torch BatchNorm1d(momentum=0.9, eps=1e-3): torch's momentum is
@@ -70,6 +71,7 @@ class Wav2Letter(nn.Module):
     num_labels: int
     mid_layers: int = 1
     init_mode: str = 'xavier_uniform'
+    precision: str | None = None
 
     @property
     def scaling_factor(self) -> int:
@@ -88,10 +90,11 @@ class Wav2Letter(nn.Module):
                             dilation=int(layer.get('dilation', 1)),
                             dropout=float(layer.get('dropout', -1.0)),
                             init_mode=self.init_mode,
+                            precision=self.precision,
                             name=f'conv1d_{i}')(x, train=train)
         x = Conv1dBlock(features=self.num_labels, kernel_size=1, stride=1,
                         use_bn=False, use_activation=False,
-                        init_mode=self.init_mode,
+                        init_mode=self.init_mode, precision=self.precision,
                         name=f'conv1d_{self.mid_layers}')(x, train=train)
         log_probs = nn.log_softmax(x, axis=-1)
         if input_lengths is None:
