@@ -1,0 +1,90 @@
+"""Config system tests: groups, overrides, interpolation, instantiation."""
+
+import pytest
+
+from wav2letter_pytorch_tpu.config import (instantiate, load_config,
+                                           resolve_target)
+from wav2letter_pytorch_tpu.decoding import GreedyDecoder
+
+
+def _load(*overrides, complete=False):
+    return load_config(['data.train_manifest=train.csv',
+                        'data.val_manifest=val.csv', *overrides]
+                       if complete else list(overrides),
+                       require_complete=complete)
+
+
+def test_defaults_compose():
+    cfg = _load(complete=True)
+    assert cfg.model.name == 'wav2letter'
+    assert cfg.model.audio_conf.sample_rate == 16000
+    assert cfg.model.optimizer['_target_'] == 'torch.optim.SGD'
+    assert len(cfg.model.layers) == 20
+    assert cfg.model.mid_layers == 1
+
+
+def test_missing_mandatory_raises():
+    with pytest.raises(ValueError, match='train_manifest'):
+        load_config([])
+
+
+def test_group_swap_and_dotted_overrides():
+    cfg = _load('model=jasper', 'data.batch_size=8', 'model.mid_layers=3',
+                complete=True)
+    assert cfg.model.name == 'jasper'
+    assert len(cfg.model.jasper_blocks) == 15
+    assert cfg.data.batch_size == 8
+    assert cfg.model.mid_layers == 3
+
+
+def test_interpolation():
+    cfg = _load('model.input_size=48', complete=True)
+    assert cfg.data.mel_spec == 48
+    assert cfg.data.audio_conf.sample_rate == 16000
+
+
+def test_audio_group_8k():
+    cfg = _load('audio=standard_8k', complete=True)
+    assert cfg.model.audio_conf.sample_rate == 8000
+
+
+def test_unknown_override_key_rejected_without_plus():
+    with pytest.raises(KeyError):
+        _load('data.nonexistent_knob=1', complete=True)
+    cfg = _load('+data.nonexistent_knob=1', complete=True)
+    assert cfg.data.nonexistent_knob == 1
+
+
+def test_yaml_typed_values():
+    cfg = _load('trainer.max_steps=100', 'data.shuffle=false', complete=True)
+    assert cfg.trainer.max_steps == 100
+    assert cfg.data.shuffle is False
+
+
+def test_instantiate_decoder_reference_style_target():
+    # Reference configs say `_target_: decoder.GreedyDecoder`; the registry
+    # maps that onto our implementation.
+    dec = instantiate({'_target_': 'decoder.GreedyDecoder',
+                       'labels': ['_', 'a', ' ']})
+    assert isinstance(dec, GreedyDecoder)
+    assert dec.labels == ['_', 'a', ' ']
+
+
+def test_instantiate_from_config_tree():
+    cfg = _load(complete=True)
+    dec = instantiate(cfg.model.decoder)
+    assert isinstance(dec, GreedyDecoder)
+    assert len(dec.labels) == 29  # english_lowercase + blank + space
+
+
+def test_resolve_target_import_path():
+    fn = resolve_target('wav2letter_pytorch_tpu.optim.exponential_lr')
+    assert callable(fn)
+    with pytest.raises(ValueError):
+        resolve_target('no.such.module.Thing')
+
+
+def test_pretty_print():
+    cfg = _load(complete=True)
+    text = cfg.pretty()
+    assert 'train_manifest: train.csv' in text
