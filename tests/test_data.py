@@ -1,0 +1,131 @@
+"""Data pipeline tests: WAV I/O, manifests, encoding, bucketed batching."""
+
+import json
+
+import numpy as np
+import pytest
+
+from wav2letter_pytorch_tpu.data.audio_io import (audio_info, read_audio,
+                                                  write_wav)
+from wav2letter_pytorch_tpu.data.dataset import (BucketBatchLoader,
+                                                 ManifestDataset)
+
+SR = 16000
+AUDIO_CONF = {'sample_rate': SR, 'window': 'hamming',
+              'window_size': 0.02, 'window_stride': 0.01}
+
+
+def _tone(seconds, freq=440.0, sr=SR):
+    t = np.arange(int(seconds * sr)) / sr
+    return (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    rows = []
+    for i, (dur, text) in enumerate([(1.0, 'hello world'),
+                                     (0.5, 'abc'),
+                                     (1.5, 'the quick brown fox'),
+                                     (0.7, 'jumps over'),
+                                     (1.2, 'the lazy dog')]):
+        path = tmp_path / f'utt{i}.wav'
+        write_wav(str(path), _tone(dur, 300 + 100 * i), SR)
+        rows.append({'audio_filepath': str(path), 'text': text})
+    manifest = tmp_path / 'manifest.jsonl'
+    manifest.write_text('\n'.join(json.dumps(r) for r in rows))
+    return manifest, rows
+
+
+def test_wav_roundtrip(tmp_path):
+    path = str(tmp_path / 'a.wav')
+    samples = _tone(0.25)
+    write_wav(path, samples, SR)
+    loaded, rate = read_audio(path)
+    assert rate == SR
+    assert loaded.shape == samples.shape
+    np.testing.assert_allclose(loaded, samples, atol=1e-4)
+    frames, rate2 = audio_info(path)
+    assert (frames, rate2) == (len(samples), SR)
+
+
+def test_wav_offset_duration(tmp_path):
+    path = str(tmp_path / 'a.wav')
+    samples = _tone(1.0)
+    write_wav(path, samples, SR)
+    seg, _ = read_audio(path, duration=0.25, offset=0.5)
+    assert len(seg) == SR // 4
+    np.testing.assert_allclose(seg, samples[SR // 2: SR // 2 + SR // 4],
+                               atol=1e-4)
+
+
+def test_manifest_jsonl_and_csv(corpus, tmp_path):
+    manifest, rows = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    assert len(ds) == 5
+    audio, target, path, text = ds[0]
+    assert text == 'hello world'
+    assert len(audio) == SR  # 1.0s
+    assert all(i > 0 for i in target)
+
+    import pandas as pd
+    csv_path = tmp_path / 'manifest.csv'
+    pd.DataFrame(rows).to_csv(csv_path)  # index written, like prepare script
+    ds2 = ManifestDataset(str(csv_path), AUDIO_CONF, 'english_lowercase')
+    assert len(ds2) == 5
+    assert ds2[2][3] == 'the quick brown fox'
+
+
+def test_encode_text_drops_unknown(corpus):
+    manifest, _ = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    # '5' and '!' are not labels; uppercase 'Q' is not in lowercase set
+    encoded = ds.encode_text('a5b!Q c')
+    decoded = ''.join(ds.labels[i] for i in encoded)
+    assert decoded == 'ab c'
+
+
+def test_sample_rate_validation(corpus, tmp_path):
+    manifest, rows = corpus
+    bad_conf = dict(AUDIO_CONF, sample_rate=8000)
+    with pytest.raises(AssertionError, match='sample rate'):
+        ManifestDataset(str(manifest), bad_conf, 'english_lowercase')
+
+
+def test_bucket_loader_static_shapes(corpus):
+    manifest, _ = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    loader = BucketBatchLoader(ds, batch_size=2, num_buckets=2, shuffle=False,
+                               prefetch=0)
+    batches = list(loader)
+    assert sum(int(b['batch_mask'].sum()) for b in batches) == 5
+    shapes = {b['audio'].shape for b in batches}
+    # static shapes: at most num_buckets distinct audio widths
+    assert len({s[1] for s in shapes}) <= 2
+    for b in batches:
+        assert b['audio'].shape[0] == 2
+        assert b['targets'].shape == (2, b['targets'].shape[1])
+        assert (b['audio_lengths'] <= b['audio'].shape[1]).all()
+        # every valid row's target length matches its text
+        for j, text in enumerate(b['texts']):
+            assert b['target_lengths'][j] == len(ds.encode_text(text))
+
+
+def test_bucket_loader_shuffle_and_prefetch(corpus):
+    manifest, _ = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    loader = BucketBatchLoader(ds, batch_size=2, num_buckets=2, shuffle=True,
+                               seed=1, prefetch=2)
+    e1 = [b['texts'] for b in loader]
+    e2 = [b['texts'] for b in loader]
+    assert sum(len(t) for t in e1) == sum(len(t) for t in e2) == 5
+    assert e1 != e2  # different epoch -> different shuffle
+
+
+def test_bucket_loader_max_duration(corpus):
+    manifest, _ = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    loader = BucketBatchLoader(ds, batch_size=5, num_buckets=1,
+                               max_duration=0.8, shuffle=False, prefetch=0)
+    (batch,) = list(loader)
+    assert batch['audio'].shape[1] <= int(0.8 * SR) + 1280
+    assert (batch['audio_lengths'] <= batch['audio'].shape[1]).all()

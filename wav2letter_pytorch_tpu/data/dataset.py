@@ -1,0 +1,218 @@
+"""Manifest dataset + length-bucketed static-shape batching.
+
+Parity surface: /root/reference/data/data_loader.py:90-163
+(``SpectrogramDataset`` + ``_collator``/``BatchAudioDataLoader``), redesigned
+for TPU:
+
+* the dataset yields **raw audio**; feature extraction runs batched on
+  device (data/features.py) inside the jitted train step, instead of
+  per-sample CPU STFT in DataLoader workers;
+* the reference pads every batch to its own max length (dynamic shapes,
+  one XLA recompile per distinct length) — here lengths are quantized into
+  a handful of buckets so the whole run compiles at most
+  ``num_buckets x target-width`` variants;
+* batches are host numpy; a background thread keeps ``prefetch`` batches
+  ready while the device computes.
+
+Manifest format parity: CSV (pandas, index_col=0 — matching
+prepare_librispeech's to_csv) or JSON-lines with ``audio_filepath``/``text``
+and optional ``offset``/``duration`` columns (data_loader.py:102-111).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import queue
+import threading
+
+import numpy as np
+
+from . import label_sets
+from .audio_io import audio_info, read_audio
+
+
+class ManifestDataset:
+    """Audio + transcript samples described by a CSV / JSON-lines manifest."""
+
+    def __init__(self, manifest_filepath: str, audio_conf, labels,
+                 validate_rate: bool = True):
+        import pandas as pd
+        if manifest_filepath.endswith('.csv'):
+            self.df = pd.read_csv(manifest_filepath, index_col=0)
+        else:
+            with open(manifest_filepath) as f:
+                self.df = pd.DataFrame(json.loads(line) for line in f
+                                       if line.strip())
+        if 'offset' not in self.df.columns:
+            self.df['offset'] = 0.0
+        if 'duration' not in self.df.columns:
+            self.df['duration'] = -1.0
+        self.sample_rate = int(audio_conf['sample_rate'])
+        self.labels = label_sets.resolve_labels(labels)
+        self.labels_map = {c: i for i, c in enumerate(self.labels)}
+        if validate_rate and len(self.df):
+            self.validate_sample_rate()
+
+    def validate_sample_rate(self):
+        _, sr = audio_info(self.df.iloc[0].audio_filepath)
+        assert sr == self.sample_rate, (
+            f'Expected sample rate {self.sample_rate} but found {sr} in '
+            'first file')
+
+    def encode_text(self, text: str) -> list[int]:
+        # filter(None, ...) parity: drops unmapped chars AND index 0 — safe
+        # because index 0 is the blank, never present in transcripts
+        # (reference data_loader.py:127).
+        return [i for i in (self.labels_map.get(ch) for ch in text) if i]
+
+    def __len__(self):
+        return len(self.df)
+
+    def sample_meta(self, index: int):
+        """(num_samples, text) without decoding audio — for bucketing."""
+        row = self.df.iloc[index]
+        if row.duration and row.duration > 0:
+            n = int(row.duration * self.sample_rate)
+        else:
+            frames, _ = audio_info(row.audio_filepath)
+            n = frames - int(row.offset * self.sample_rate)
+        return n, row.text
+
+    def __getitem__(self, index: int):
+        row = self.df.iloc[index]
+        audio, _ = read_audio(row.audio_filepath, row.duration, row.offset)
+        return audio, self.encode_text(row.text), row.audio_filepath, row.text
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BucketBatchLoader:
+    """Batches with length-bucketed static shapes and thread prefetch.
+
+    Yields dicts with keys: ``audio`` [B, T_bucket] f32, ``audio_lengths``
+    [B] i32, ``targets`` [B, S] i32 (zero-padded), ``target_lengths`` [B]
+    i32, plus host-side ``texts`` and ``paths`` lists. The final short batch
+    is padded to full batch_size with repeated samples masked out via
+    ``batch_mask`` (all-ones otherwise) so shapes never change.
+    """
+
+    def __init__(self, dataset: ManifestDataset, batch_size: int,
+                 num_buckets: int = 4, max_duration: float | None = None,
+                 shuffle: bool = False, seed: int = 0, prefetch: int = 2,
+                 length_multiple: int = 1280, target_multiple: int = 16,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.target_multiple = target_multiple
+        self.epoch = 0
+
+        metas = [dataset.sample_meta(i) for i in range(len(dataset))]
+        self.lengths = np.array([m[0] for m in metas], dtype=np.int64)
+        max_samples = (int(max_duration * dataset.sample_rate)
+                       if max_duration else int(self.lengths.max(initial=1)))
+        self.lengths = np.minimum(self.lengths, max_samples)
+
+        # Bucket edges at length quantiles, rounded to a coarse multiple so
+        # near-identical buckets collapse (fewer compiled shapes).
+        qs = np.quantile(self.lengths, np.linspace(0, 1, num_buckets + 1)[1:])
+        edges = sorted({_round_up(int(q), length_multiple) for q in qs})
+        edges[-1] = max(_round_up(max_samples, length_multiple), edges[-1])
+        self.bucket_edges = edges
+        self.max_target_len = max(
+            (len(dataset.encode_text(m[1])) for m in metas), default=1)
+
+    def _bucket_of(self, length: int) -> int:
+        for i, e in enumerate(self.bucket_edges):
+            if length <= e:
+                return i
+        return len(self.bucket_edges) - 1
+
+    def __len__(self):
+        n = len(self.dataset)
+        per_bucket = {}
+        for length in self.lengths:
+            b = self._bucket_of(int(length))
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+        op = math.floor if self.drop_last else math.ceil
+        return sum(int(op(c / self.batch_size)) for c in per_bucket.values())
+
+    def _batch_indices(self, epoch: int):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        buckets: dict[int, list[int]] = {}
+        for idx in order:
+            b = self._bucket_of(int(self.lengths[idx]))
+            buckets.setdefault(b, []).append(int(idx))
+            if len(buckets[b]) == self.batch_size:
+                yield b, buckets.pop(b)
+        for b, rest in sorted(buckets.items()):
+            if rest and not self.drop_last:
+                yield b, rest
+
+    def _make_batch(self, bucket: int, indices: list[int]):
+        pad_to = self.bucket_edges[bucket]
+        n = len(indices)
+        B = self.batch_size
+        audio = np.zeros((B, pad_to), np.float32)
+        audio_lengths = np.ones((B,), np.int32)
+        s_max = _round_up(max(self.max_target_len, 1), self.target_multiple)
+        targets = np.zeros((B, s_max), np.int32)
+        target_lengths = np.zeros((B,), np.int32)
+        batch_mask = np.zeros((B,), np.float32)
+        texts, paths = [], []
+        for j, idx in enumerate(indices):
+            samples, target, path, text = self.dataset[idx]
+            t = min(len(samples), pad_to)
+            audio[j, :t] = samples[:t]
+            audio_lengths[j] = t
+            target = target[:s_max]
+            targets[j, :len(target)] = target
+            target_lengths[j] = len(target)
+            batch_mask[j] = 1.0
+            texts.append(text)
+            paths.append(path)
+        # Short final batch: repeat the first sample into the padding rows
+        # (masked out of the loss) so shapes stay static.
+        for j in range(n, B):
+            audio[j] = audio[n - 1]
+            audio_lengths[j] = audio_lengths[n - 1]
+            targets[j] = targets[n - 1]
+            target_lengths[j] = target_lengths[n - 1]
+        return dict(audio=audio, audio_lengths=audio_lengths, targets=targets,
+                    target_lengths=target_lengths, batch_mask=batch_mask,
+                    texts=texts, paths=paths)
+
+    def __iter__(self):
+        epoch = self.epoch
+        self.epoch += 1
+        if self.prefetch <= 0:
+            for b, idxs in self._batch_indices(epoch):
+                yield self._make_batch(b, idxs)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b, idxs in self._batch_indices(epoch):
+                    q.put(self._make_batch(b, idxs))
+            finally:
+                q.put(stop)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        thread.join()
