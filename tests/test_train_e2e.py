@@ -1,0 +1,117 @@
+"""End-to-end training smoke tests on a synthetic WAV corpus.
+
+Covers the reference's only integration path (examples/librispeech.sh: train
+one epoch end to end) without network access: generated tone WAVs, the full
+config -> loaders -> jitted train step -> metrics -> checkpoint pipeline.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from wav2letter_pytorch_tpu.data.audio_io import write_wav
+
+SR = 16000
+
+
+def _make_corpus(tmp_path, n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    texts = ['abba', 'cab', 'dad at bat', 'a cat sat', 'bad cab', 'tact']
+    rows = []
+    for i in range(n):
+        dur = 0.3 + 0.1 * (i % 3)
+        t = np.arange(int(dur * SR)) / SR
+        audio = (0.3 * np.sin(2 * np.pi * (250 + 60 * i) * t)
+                 + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+        path = tmp_path / f'utt{i}.wav'
+        write_wav(str(path), audio, SR)
+        rows.append({'audio_filepath': str(path), 'text': texts[i % len(texts)]})
+    manifest = tmp_path / 'train.jsonl'
+    manifest.write_text('\n'.join(json.dumps(r) for r in rows))
+    return str(manifest)
+
+
+@pytest.fixture
+def overrides(tmp_path):
+    manifest = _make_corpus(tmp_path)
+    run_dir = tmp_path / 'run'
+    return [
+        f'data.train_manifest={manifest}',
+        f'data.val_manifest={manifest}',
+        'data.batch_size=2',
+        'data.num_length_buckets=1',
+        'model.input_size=32',
+        'model.mid_layers=1',
+        'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: 0.1}]',
+        'trainer.max_epochs=1',
+        'trainer.max_steps=4',
+        'trainer.log_every_n_steps=1',
+        f'trainer.default_root_dir={run_dir}',
+    ]
+
+
+def test_train_cli_end_to_end(overrides, tmp_path):
+    import train as train_cli
+    assert train_cli.main(overrides) == 0
+    run_dir = tmp_path / 'run'
+    metrics = (run_dir / 'metrics.csv').read_text()
+    assert 'train_loss' in metrics
+    assert 'train_wer' in metrics
+    assert 'val_wer' in metrics
+    assert (run_dir / 'checkpoints').exists()
+
+
+def test_train_cli_config_print(capsys):
+    import train as train_cli
+    assert train_cli.main(['data.train_manifest=x', 'data.val_manifest=y',
+                           '--cfg']) == 0
+    out = capsys.readouterr().out
+    assert 'train_manifest: x' in out
+
+
+def test_loss_decreases_when_overfitting(tmp_path):
+    """A tiny model on a single repeated utterance must drive CTC loss down."""
+    import jax.numpy as jnp
+    from wav2letter_pytorch_tpu import optim
+    from wav2letter_pytorch_tpu.config import load_config
+    from wav2letter_pytorch_tpu.data.dataset import (BucketBatchLoader,
+                                                     ManifestDataset)
+    from wav2letter_pytorch_tpu.training import (Trainer, build_decoder,
+                                                 build_frontend, build_labels,
+                                                 build_model)
+
+    manifest = _make_corpus(tmp_path, n=2, seed=1)
+    cfg = load_config([
+        f'data.train_manifest={manifest}',
+        f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model.input_size=32',
+        'model.layers=[{output_size: 32, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: -1.0}]',
+        'trainer.string_metrics_interval=0',
+        f'trainer.default_root_dir={tmp_path / "run2"}',
+    ])
+    labels = build_labels(cfg.model)
+    ds = ManifestDataset(manifest, cfg.data.audio_conf, labels)
+    loader = BucketBatchLoader(ds, 2, num_buckets=1, shuffle=False, prefetch=0)
+    model = build_model(cfg.model, len(labels))
+    frontend = build_frontend(cfg.model)
+    tx = optim.adamw(3e-3, weight_decay=0.0)
+    trainer = Trainer(cfg, model, frontend, tx, optim.constant_lr(3e-3),
+                      build_decoder(cfg.model, labels),
+                      run_dir=str(tmp_path / 'run2'))
+
+    batch = next(iter(loader))
+    trainer.init_state(batch)
+    step = trainer._get_jitted('train')
+    from wav2letter_pytorch_tpu.parallel import shard_batch
+    db = shard_batch({k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}, trainer.mesh)
+    losses = []
+    for _ in range(25):
+        trainer.state, loss, _, _ = step(trainer.state, db)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses

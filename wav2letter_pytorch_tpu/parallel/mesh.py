@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers for data-parallel training.
+
+TPU-native replacement for the reference's implicit Lightning-DDP/NCCL
+story (SURVEY.md §2.3: the reference has no first-party parallelism; DDP is
+reachable only through ``Trainer`` flags). Here data parallelism is explicit
+SPMD: a 1-D ``jax.sharding.Mesh`` over the ``data`` axis, batches sharded
+along it, parameters/optimizer state replicated. The gradient all-reduce is
+inserted by the XLA SPMD partitioner and rides ICI — and because the
+computation is written against the *global* batch, BatchNorm statistics are
+cross-replica exact (sync-BN), matching single-device reference semantics
+at any device count.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis: str = 'data') -> Mesh:
+    """1-D device mesh. ``num_devices=None``/-1 uses all visible devices."""
+    devices = jax.devices()
+    if num_devices in (None, -1):
+        num_devices = len(devices)
+    if num_devices > len(devices):
+        raise ValueError(
+            f'Requested {num_devices} devices, only {len(devices)} visible')
+    return Mesh(np.array(devices[:num_devices]), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
+    """Device-put array leaves of a host batch with batch-dim sharding.
+
+    Non-array entries (texts, paths) pass through untouched on host.
+    """
+    sharding = batch_sharding(mesh, axis)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v
+    return out

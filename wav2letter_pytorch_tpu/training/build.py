@@ -1,0 +1,120 @@
+"""Config -> objects: model, frontend, optimizer, decoder.
+
+Replaces the reference's Hydra ``instantiate`` wiring (train.py:33,
+base_asr_models.py:22,73-76) with explicit factories. Optimizer/scheduler
+``_target_`` names written for torch resolve onto the optax-based
+equivalents with identical hyperparameter meaning.
+"""
+
+from __future__ import annotations
+
+from .. import optim
+from ..config import instantiate
+from ..data.features import AudioConfig, SpectrogramFrontend
+from ..data.label_sets import resolve_labels
+from ..models import Jasper, Wav2Letter
+
+
+def build_labels(model_cfg) -> list[str]:
+    return resolve_labels(model_cfg['labels'])
+
+
+def build_model(model_cfg, num_labels: int):
+    name = model_cfg['name']
+    mid_layers = int(model_cfg.get('mid_layers', 1))
+    if name == 'wav2letter':
+        return Wav2Letter(layers=[dict(l) for l in model_cfg['layers']],
+                          num_labels=num_labels, mid_layers=mid_layers)
+    if name == 'jasper':
+        return Jasper(jasper_blocks=[dict(b) for b in model_cfg['jasper_blocks']],
+                      num_labels=num_labels, mid_layers=mid_layers)
+    raise ValueError(f'Unknown model name: {name!r} '
+                     "(expected 'wav2letter' or 'jasper')")
+
+
+def model_input_size(model_cfg) -> int:
+    """input_size default: 1 + nfft/2 from the audio conf
+    (reference wav2letter.py:53-57)."""
+    if model_cfg.get('input_size'):
+        return int(model_cfg['input_size'])
+    ac = model_cfg['audio_conf']
+    nfft = ac['sample_rate'] * ac['window_size']
+    return int(1 + nfft / 2)
+
+
+def build_frontend(model_cfg, dither: float | None = None) -> SpectrogramFrontend:
+    ac = model_cfg['audio_conf']
+    conf = AudioConfig(sample_rate=int(ac['sample_rate']),
+                       window_size=float(ac['window_size']),
+                       window_stride=float(ac['window_stride']),
+                       window=ac.get('window', 'hamming'))
+    kwargs = {} if dither is None else {'dither': dither}
+    return SpectrogramFrontend(conf, n_mels=model_input_size(model_cfg),
+                               **kwargs)
+
+
+def build_decoder(model_cfg, labels):
+    dec_cfg = dict(model_cfg['decoder'])
+    dec_cfg['labels'] = list(labels)
+    return instantiate(dec_cfg)
+
+
+_SCHED_TARGETS = {
+    'torch.optim.lr_scheduler.ExponentialLR': 'exponential',
+    'wav2letter_pytorch_tpu.optim.exponential_lr': 'exponential',
+    'torch.optim.lr_scheduler.OneCycleLR': 'one_cycle',
+    'wav2letter_pytorch_tpu.optim.one_cycle_lr': 'one_cycle',
+}
+
+_OPT_TARGETS = {
+    'torch.optim.SGD': 'sgd',
+    'wav2letter_pytorch_tpu.optim.sgd': 'sgd',
+    'novograd.Novograd': 'novograd',
+    'wav2letter_pytorch_tpu.optim.novograd': 'novograd',
+    'torch.optim.AdamW': 'adamw',
+}
+
+
+def build_optimizer(model_cfg, steps_per_epoch: int, total_steps: int):
+    """Returns (optax transformation, lr schedule fn) from the config."""
+    opt_cfg = dict(model_cfg['optimizer'])
+    sched_cfg = dict(model_cfg.get('scheduler') or {})
+
+    opt_target = opt_cfg.pop('_target_')
+    kind = _OPT_TARGETS.get(opt_target)
+    if kind is None:
+        raise ValueError(f'Unknown optimizer _target_: {opt_target!r}')
+    base_lr = float(opt_cfg.pop('lr'))
+
+    sched_kind = None
+    if sched_cfg:
+        sched_target = sched_cfg.pop('_target_')
+        sched_kind = _SCHED_TARGETS.get(sched_target)
+        if sched_kind is None:
+            raise ValueError(f'Unknown scheduler _target_: {sched_target!r}')
+
+    if sched_kind == 'exponential':
+        schedule = optim.exponential_lr(base_lr, float(sched_cfg['gamma']),
+                                        steps_per_epoch=steps_per_epoch)
+    elif sched_kind == 'one_cycle':
+        schedule = optim.one_cycle_lr(
+            float(sched_cfg.get('max_lr', base_lr)),
+            total_steps=int(sched_cfg.get('total_steps') or total_steps))
+    else:
+        schedule = optim.constant_lr(base_lr)
+
+    if kind == 'sgd':
+        tx = optim.sgd(schedule, momentum=float(opt_cfg.get('momentum', 0.0)),
+                       nesterov=bool(opt_cfg.get('nesterov', False)),
+                       weight_decay=float(opt_cfg.get('weight_decay', 0.0)))
+    elif kind == 'novograd':
+        tx = optim.novograd(
+            schedule, betas=tuple(opt_cfg.get('betas', (0.95, 0.0))),
+            eps=float(opt_cfg.get('eps', 1e-8)),
+            weight_decay=float(opt_cfg.get('weight_decay', 0.0)),
+            grad_averaging=bool(opt_cfg.get('grad_averaging', False)),
+            amsgrad=bool(opt_cfg.get('amsgrad', False)))
+    else:
+        tx = optim.adamw(schedule,
+                         weight_decay=float(opt_cfg.get('weight_decay', 0.01)))
+    return tx, schedule

@@ -1,0 +1,53 @@
+"""Checkpoint save/restore with retention (orbax-backed).
+
+The reference delegates checkpointing entirely to Lightning defaults
+(SURVEY.md §5: ``lightning_logs/version_*/checkpoints/*.ckpt`` per epoch,
+no explicit code). Here checkpoints hold the full training state —
+params, batch_stats, optimizer state, step — with keep-last-k retention
+and resume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    def __init__(self, directory: str, keep_last: int = 3):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep_last,
+                                                 create=True))
+
+    def save(self, step: int, state) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, template, step: int | None = None):
+        """Restore into the structure of ``template`` (a concrete pytree)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params(path: str, pytree) -> None:
+    """One-shot parameter dump (used by test.py-style offline evaluation)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), pytree)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, template=None):
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), target=template)
+    return ckptr.restore(os.path.abspath(path))

@@ -1,0 +1,245 @@
+"""Explicit TPU training loop: jitted SPMD train step over a device mesh.
+
+Replaces PyTorch Lightning's ``Trainer.fit`` (/root/reference/train.py:34-37)
+and the LightningModule train/val steps (/root/reference/
+base_asr_models.py:78-94) with a small explicit loop designed for XLA:
+
+* one jitted ``train_step`` fuses the on-device feature frontend, the conv
+  stack, CTC loss, and the optimizer update; inputs are batch-sharded over a
+  1-D ``data`` mesh and parameters replicated, so the SPMD partitioner
+  inserts the gradient all-reduce over ICI (no NCCL, no DDP wrapper);
+* training state (params / batch_stats / opt state / rng / step) is donated
+  each step — no host round-trip on the hot path;
+* string metrics (WER/CER) need host decoding, so logits are pulled off
+  device only every ``string_metrics_interval`` steps (the reference
+  greedy-decodes every batch on host, stalling the accelerator —
+  base_asr_models.py:83);
+* per-sample CTC losses are masked so shape-padding rows of the static
+  batch contribute nothing (reference semantics: 'mean' = loss/target_len
+  averaged over real samples);
+* checkpoints (full state) every N epochs with keep-last-k retention +
+  resume — parity with Lightning's default checkpointing (SURVEY.md §5).
+
+Conscious fixes vs the reference, documented here:
+* validation CTC loss is always computed from log-probabilities; the
+  reference feeds Jasper's eval-mode *softmax* outputs straight into
+  CTCLoss, silently corrupting val_loss (jasper.py:470-473 +
+  base_asr_models.py:90);
+* feature dithering is disabled during validation for determinism (the
+  reference dithers unconditionally, data_loader.py:65-68).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models import Jasper
+from ..ops.ctc import ctc_loss
+from ..parallel import make_mesh, replicated_sharding, shard_batch
+from .logging import MetricLogger
+from .metrics import RatioAccumulator, string_metrics
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def masked_ctc_mean(log_probs, out_lens, targets, target_lengths, batch_mask):
+    """torch 'mean' reduction restricted to real (unmasked) rows."""
+    per = ctc_loss(log_probs, out_lens, targets, target_lengths,
+                   reduction='none')
+    tl = jnp.maximum(target_lengths, 1).astype(jnp.float32)
+    weighted = per / tl * batch_mask
+    return jnp.sum(weighted) / jnp.maximum(jnp.sum(batch_mask), 1.0)
+
+
+class Trainer:
+    def __init__(self, cfg, model, frontend, optimizer, schedule, decoder,
+                 run_dir: str | None = None):
+        self.cfg = cfg
+        self.model = model
+        self.frontend = frontend
+        self.optimizer = optimizer
+        self.schedule = schedule
+        self.decoder = decoder
+        tcfg = cfg['trainer']
+        self.max_epochs = int(tcfg.get('max_epochs', 5))
+        self.max_steps = tcfg.get('max_steps')
+        self.seed = int(tcfg.get('seed', 0))
+        self.log_every = int(tcfg.get('log_every_n_steps', 10))
+        self.metrics_interval = int(tcfg.get('string_metrics_interval', 1))
+        self.print_decoded_prob = float(
+            cfg['model'].get('print_decoded_prob', 0) or 0)
+        self.run_dir = run_dir or tcfg.get('default_root_dir', '.')
+        mesh_cfg = tcfg.get('mesh', {}) or {}
+        self.mesh = make_mesh(int(mesh_cfg.get('data', -1)))
+        self.logger = MetricLogger(self.run_dir)
+        self._ckpt = None
+        ck = tcfg.get('checkpoint', {}) or {}
+        self.ckpt_every = int(ck.get('every_n_epochs', 1))
+        self.ckpt_keep = int(ck.get('keep_last', 3))
+        self.state: TrainState | None = None
+        self._jitted = {}
+        # Jasper emits probabilities in eval mode (reference jasper.py:473).
+        self.eval_emits_probs = isinstance(model, Jasper)
+
+    # ----------------------------------------------------------------- init
+    def init_state(self, example_batch) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng = jax.random.split(rng)
+        feats, flens = self.frontend(example_batch['audio'][:1],
+                                     example_batch['audio_lengths'][:1])
+        variables = self.model.init(init_rng, feats, flens, train=False)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        opt_state = self.optimizer.init(params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=opt_state,
+                           rng=rng)
+        repl = replicated_sharding(self.mesh)
+        self.state = jax.device_put(state, repl)
+        return self.state
+
+    # ---------------------------------------------------------------- steps
+    def _train_step(self, state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng_dither, rng_dropout = jax.random.split(rng)
+        feats, flens = self.frontend(batch['audio'], batch['audio_lengths'],
+                                     rng=rng_dither)
+
+        def loss_fn(params):
+            (out, out_lens), mutated = self.model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                feats, flens, train=True, rngs={'dropout': rng_dropout},
+                mutable=['batch_stats'])
+            loss = masked_ctc_mean(out, out_lens, batch['targets'],
+                                   batch['target_lengths'],
+                                   batch['batch_mask'])
+            return loss, (mutated.get('batch_stats', {}), out, out_lens)
+
+        (loss, (new_stats, out, out_lens)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.optimizer.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt,
+                               rng=state.rng)
+        return new_state, loss, out, out_lens
+
+    def _eval_step(self, state: TrainState, batch):
+        feats, flens = self.frontend(batch['audio'], batch['audio_lengths'])
+        out, out_lens = self.model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            feats, flens, train=False)
+        log_probs = jnp.log(jnp.clip(out, 1e-30)) if self.eval_emits_probs \
+            else out
+        loss = masked_ctc_mean(log_probs, out_lens, batch['targets'],
+                               batch['target_lengths'], batch['batch_mask'])
+        return loss, out, out_lens
+
+    def _get_jitted(self, name):
+        if name not in self._jitted:
+            repl = replicated_sharding(self.mesh)
+            if name == 'train':
+                self._jitted[name] = jax.jit(
+                    self._train_step, donate_argnums=(0,),
+                    out_shardings=(repl, repl, repl, repl))
+            else:
+                self._jitted[name] = jax.jit(self._eval_step)
+        return self._jitted[name]
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, train_loader, val_loader=None, resume: bool = False):
+        from .checkpoint import Checkpointer
+        self._ckpt = Checkpointer(f'{self.run_dir}/checkpoints',
+                                  keep_last=self.ckpt_keep)
+        first = None
+        for batch in train_loader:
+            first = batch
+            break
+        if first is None:
+            raise ValueError('empty training loader')
+        if self.state is None:
+            self.init_state(first)
+        if resume and self._ckpt.latest_step() is not None:
+            self.state = self._ckpt.restore(self.state)
+            print(f'Resumed from step {int(self.state.step)}')
+
+        train_step = self._get_jitted('train')
+        step = int(self.state.step)
+        t0 = time.time()
+        utts = 0
+        for epoch in range(self.max_epochs):
+            for batch in train_loader:
+                if self.max_steps is not None and step >= int(self.max_steps):
+                    break
+                device_batch = shard_batch(
+                    {k: v for k, v in batch.items()
+                     if isinstance(v, np.ndarray)}, self.mesh)
+                self.state, loss, out, out_lens = train_step(self.state,
+                                                             device_batch)
+                step += 1
+                utts += int(batch['batch_mask'].sum())
+                logs = {}
+                if step % self.log_every == 0 or step == 1:
+                    logs['train_loss'] = float(loss)
+                    logs['learning_rate'] = float(self.schedule(step - 1))
+                    dt = time.time() - t0
+                    logs['utterances_per_sec'] = utts / max(dt, 1e-9)
+                if self.metrics_interval and step % self.metrics_interval == 0:
+                    logs.update(string_metrics(
+                        self.decoder, np.asarray(out), np.asarray(out_lens),
+                        batch['texts'], 'train',
+                        batch_mask=batch['batch_mask'],
+                        print_decoded_prob=self.print_decoded_prob))
+                if logs:
+                    self.logger.log(step, logs)
+            if val_loader is not None:
+                val = self.validate(val_loader)
+                self.logger.log(step, val)
+                print(f'epoch {epoch}: ' + ' '.join(
+                    f'{k}={v:.4f}' for k, v in val.items()))
+            if (epoch + 1) % self.ckpt_every == 0:
+                self._ckpt.save(step, jax.device_get(self.state))
+            if self.max_steps is not None and step >= int(self.max_steps):
+                break
+        return self.state
+
+    # ------------------------------------------------------------- validate
+    def validate(self, val_loader) -> dict:
+        eval_step = self._get_jitted('eval')
+        acc = RatioAccumulator()
+        losses = []
+        for batch in val_loader:
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items()
+                 if isinstance(v, np.ndarray)}, self.mesh)
+            loss, out, out_lens = eval_step(self.state, device_batch)
+            losses.append(float(loss))
+            decoded = self.decoder.decode(np.asarray(out),
+                                          np.asarray(out_lens))
+            for j, expected in enumerate(batch['texts']):
+                if not batch['batch_mask'][j]:
+                    continue
+                c, cd = self.decoder.cer_ratio(expected, decoded[j])
+                w, wd = self.decoder.wer_ratio(expected, decoded[j])
+                acc.add('val_cer', c, cd)
+                acc.add('val_wer', w, wd)
+                acc.add('val_len_ratio', len(decoded[j]), len(expected))
+        out = {'val_loss': float(np.mean(losses)) if losses else 0.0}
+        out.update(acc.ratios())
+        return out
