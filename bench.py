@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: flagship training-step throughput (utterances/sec/chip).
+
+Measures the full jitted training step — on-device feature frontend +
+20-layer Wav2Letter + CTC loss + SGD update — on synthetic 8-second
+utterances, on whatever accelerator is ambient (the driver runs this on one
+real TPU chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": R}
+
+``vs_baseline`` compares against the reference implementation's measured
+throughput recorded in benchmarks/baseline_measured.json (the reference
+publishes no numbers — BASELINE.md — so the baseline is measured by
+benchmarks/torch_reference_bench.py: the same model/loss/optimizer in
+torch on this host). If the file is absent, vs_baseline is null.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 16
+SECONDS = 8
+SR = 16000
+WARMUP = 3
+STEPS = 10
+
+
+def main():
+    from wav2letter_pytorch_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    from wav2letter_pytorch_tpu import optim
+    from wav2letter_pytorch_tpu.config import load_config
+    from wav2letter_pytorch_tpu.parallel import shard_batch
+    from wav2letter_pytorch_tpu.training import (Trainer, build_decoder,
+                                                 build_frontend, build_labels,
+                                                 build_model, build_optimizer)
+
+    cfg = load_config([
+        'data.train_manifest=unused', 'data.val_manifest=unused',
+        'model.mid_layers=20',
+        'trainer.string_metrics_interval=0',
+    ])
+    labels = build_labels(cfg.model)
+    model = build_model(cfg.model, num_labels=len(labels))
+    frontend = build_frontend(cfg.model)
+    optimizer, schedule = build_optimizer(cfg.model, steps_per_epoch=1000,
+                                          total_steps=5000)
+    trainer = Trainer(cfg, model, frontend, optimizer, schedule,
+                      build_decoder(cfg.model, labels),
+                      run_dir='/tmp/w2l_bench')
+
+    rng = np.random.default_rng(0)
+    t_samples = SECONDS * SR
+    batch = dict(
+        audio=(rng.standard_normal((BATCH, t_samples)) * 0.1).astype(np.float32),
+        audio_lengths=np.full((BATCH,), t_samples, np.int32),
+        targets=rng.integers(1, len(labels), size=(BATCH, 128)).astype(np.int32),
+        target_lengths=np.full((BATCH,), 100, np.int32),
+        batch_mask=np.ones((BATCH,), np.float32),
+    )
+    for b in range(BATCH):
+        batch['targets'][b, 100:] = 0
+
+    trainer.init_state(batch)
+    step = trainer._get_jitted('train')
+    device_batch = shard_batch(batch, trainer.mesh)
+
+    for _ in range(WARMUP):
+        trainer.state, loss, _, _ = step(trainer.state, device_batch)
+    jax.block_until_ready(trainer.state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        trainer.state, loss, _, _ = step(trainer.state, device_batch)
+    jax.block_until_ready(trainer.state.params)
+    dt = time.perf_counter() - t0
+
+    n_chips = len(trainer.mesh.devices.ravel())
+    utt_per_sec = BATCH * STEPS / dt / n_chips
+
+    vs = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 'benchmarks', 'baseline_measured.json')
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = base.get('utterances_per_sec')
+        if ref:
+            vs = utt_per_sec / ref
+
+    print(json.dumps({
+        'metric': 'train_step_throughput_w2l20_8s',
+        'value': round(utt_per_sec, 3),
+        'unit': 'utt/s/chip',
+        'vs_baseline': round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,90 @@
+"""test.py offline evaluation CLI: checkpoint load, greedy + beam decoding.
+
+This is the surface the reference README promises but never implemented
+(README.md:46-56 'WIP!').
+"""
+
+import json
+
+import pytest
+
+from tests.test_train_e2e import _make_corpus
+
+
+@pytest.fixture(scope='module')
+def trained_run(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp('evalrun')
+    manifest = _make_corpus(tmp_path)
+    run_dir = tmp_path / 'run'
+    import train as train_cli
+    rc = train_cli.main([
+        f'data.train_manifest={manifest}',
+        f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model.input_size=32',
+        'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: 0.1}]',
+        'trainer.max_epochs=1', 'trainer.max_steps=3',
+        'trainer.string_metrics_interval=0',
+        'trainer.mesh.data=2',
+        f'trainer.default_root_dir={run_dir}',
+    ])
+    assert rc == 0
+    return str(run_dir), manifest
+
+
+def test_eval_cli_greedy(trained_run, capsys):
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--print-samples'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    result = json.loads(out.strip().splitlines()[-1])
+    assert set(result) >= {'loss', 'wer', 'cer', 'num_utterances'}
+    assert result['num_utterances'] == 6
+    assert result['loss'] is not None
+    assert 'reference:' in out  # --print-samples produced pairs
+
+
+def test_eval_cli_beam_search(trained_run, capsys):
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--beam-search-params', 'k=3,alpha=0.3,beta=1,prune=1e-3'])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 'wer' in result
+
+
+def test_beam_param_parsing():
+    import test as test_cli
+    params = test_cli.parse_beam_params('k=8,alpha=0.5,beta=2,prune=1e-4')
+    assert params == {'k': 8, 'alpha': 0.5, 'beta': 2.0, 'prune': 1e-4}
+    with pytest.raises(ValueError):
+        test_cli.parse_beam_params('bogus=1')
+
+
+def test_resume_from_checkpoint(trained_run, tmp_path):
+    """--resume restores the saved step and continues."""
+    run_dir, manifest = trained_run
+    import train as train_cli
+    rc = train_cli.main([
+        f'data.train_manifest={manifest}',
+        f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model.input_size=32',
+        'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: 0.1}]',
+        'trainer.max_epochs=1', 'trainer.max_steps=5',
+        'trainer.string_metrics_interval=0',
+        'trainer.mesh.data=2',
+        f'trainer.default_root_dir={run_dir}',
+        '--resume',
+    ])
+    assert rc == 0
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    ckpt = Checkpointer(f'{run_dir}/checkpoints')
+    assert ckpt.latest_step() >= 3

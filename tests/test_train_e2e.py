@@ -49,6 +49,7 @@ def overrides(tmp_path):
         'trainer.max_epochs=1',
         'trainer.max_steps=4',
         'trainer.log_every_n_steps=1',
+        'trainer.mesh.data=2',
         f'trainer.default_root_dir={run_dir}',
     ]
 
@@ -92,6 +93,7 @@ def test_loss_decreases_when_overfitting(tmp_path):
         'model.layers=[{output_size: 32, kernel_size: 7, stride: 2, '
         'dilation: 1, dropout: -1.0}]',
         'trainer.string_metrics_interval=0',
+        'trainer.mesh.data=2',
         f'trainer.default_root_dir={tmp_path / "run2"}',
     ])
     labels = build_labels(cfg.model)

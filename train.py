@@ -45,6 +45,8 @@ def main(argv=None):
     resume = '--resume' in argv
     overrides = [a for a in argv if not a.startswith('--')]
     cfg = load_config(overrides)
+    from wav2letter_pytorch_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     if print_cfg:
         print(cfg.pretty())
         return 0

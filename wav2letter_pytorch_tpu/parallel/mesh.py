@@ -44,9 +44,15 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
     Non-array entries (texts, paths) pass through untouched on host.
     """
     sharding = batch_sharding(mesh, axis)
+    n = mesh.shape[axis]
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
+            if v.shape[0] % n != 0:
+                raise ValueError(
+                    f'Batch dim of {k!r} ({v.shape[0]}) must be divisible by '
+                    f'the {axis!r} mesh size ({n}); pick a batch_size that is '
+                    'a multiple of the device count (or set trainer.mesh.data)')
             out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v

@@ -93,6 +93,9 @@ class Trainer:
         self.ckpt_keep = int(ck.get('keep_last', 3))
         self.state: TrainState | None = None
         self._jitted = {}
+        from ..data.augmentations import build_augment_fn
+        self.augment_fn = build_augment_fn(
+            (cfg.get('data') or {}).get('augment'))
         # Jasper emits probabilities in eval mode (reference jasper.py:473).
         self.eval_emits_probs = isinstance(model, Jasper)
 
@@ -102,7 +105,8 @@ class Trainer:
         rng, init_rng = jax.random.split(rng)
         feats, flens = self.frontend(example_batch['audio'][:1],
                                      example_batch['audio_lengths'][:1])
-        variables = self.model.init(init_rng, feats, flens, train=False)
+        variables = jax.jit(partial(self.model.init, train=False))(
+            init_rng, feats, flens)
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         opt_state = self.optimizer.init(params)
@@ -116,9 +120,11 @@ class Trainer:
     # ---------------------------------------------------------------- steps
     def _train_step(self, state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        rng_dither, rng_dropout = jax.random.split(rng)
+        rng_dither, rng_aug, rng_dropout = jax.random.split(rng, 3)
         feats, flens = self.frontend(batch['audio'], batch['audio_lengths'],
                                      rng=rng_dither)
+        if self.augment_fn is not None:
+            feats = self.augment_fn(rng_aug, feats)
 
         def loss_fn(params):
             (out, out_lens), mutated = self.model.apply(
@@ -164,9 +170,16 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
     def fit(self, train_loader, val_loader=None, resume: bool = False):
+        import os
         from .checkpoint import Checkpointer
         self._ckpt = Checkpointer(f'{self.run_dir}/checkpoints',
                                   keep_last=self.ckpt_keep)
+        # Persist the composed config so offline evaluation (test.py) can
+        # rebuild the exact model from --model-path alone.
+        if hasattr(self.cfg, 'pretty'):
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(os.path.join(self.run_dir, 'config.yaml'), 'w') as f:
+                f.write(self.cfg.pretty())
         first = None
         for batch in train_loader:
             first = batch

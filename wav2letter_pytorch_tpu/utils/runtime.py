@@ -1,0 +1,38 @@
+"""Runtime helpers: persistent XLA compilation cache, profiling hooks."""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Persist compiled XLA programs across processes.
+
+    First TPU compiles are slow (tens of seconds through the device tunnel);
+    caching makes reruns of train/bench/eval start in seconds.
+    """
+    import jax
+    path = path or os.path.join(os.path.expanduser('~'), '.cache',
+                                'w2l_tpu_xla')
+    os.makedirs(path, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', path)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: str | None):
+    """jax.profiler trace scope (TensorBoard-viewable), no-op when disabled.
+
+    The reference exposes profiling only via Lightning's ``profiler`` flag
+    (SURVEY.md §5); here tracing wraps any training region.
+    """
+    if not logdir:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
