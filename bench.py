@@ -74,12 +74,13 @@ def main():
 
     for _ in range(WARMUP):
         trainer.state, loss, _, _ = step(trainer.state, device_batch)
-    jax.block_until_ready(trainer.state.params)
+    float(loss)  # full sync — block_until_ready alone does not block
+                 # through the axon device tunnel
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         trainer.state, loss, _, _ = step(trainer.state, device_batch)
-    jax.block_until_ready(trainer.state.params)
+    float(loss)  # forces the whole dependent chain to finish
     dt = time.perf_counter() - t0
 
     n_chips = len(trainer.mesh.devices.ravel())
