@@ -84,6 +84,15 @@ class ManifestDataset:
         audio, _ = read_audio(row.audio_filepath, row.duration, row.offset)
         return audio, self.encode_text(row.text), row.audio_filepath, row.text
 
+    def data_channels(self, mel_spec: int | None = None,
+                      window_size: float | None = None) -> int:
+        """Feature channels per frame (reference data_loader.py:143-147)."""
+        if mel_spec:
+            return mel_spec
+        if window_size is None:
+            raise ValueError('need window_size when mel_spec is unset')
+        return int(1 + int(self.sample_rate * window_size) / 2)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

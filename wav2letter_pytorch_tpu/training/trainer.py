@@ -57,9 +57,10 @@ class TrainState:
     rng: jax.Array
 
 
-def masked_ctc_mean(log_probs, out_lens, targets, target_lengths, batch_mask):
+def masked_ctc_mean(log_probs, out_lens, targets, target_lengths, batch_mask,
+                    ctc_impl=ctc_loss):
     """torch 'mean' reduction restricted to real (unmasked) rows."""
-    per = ctc_loss(log_probs, out_lens, targets, target_lengths,
+    per = ctc_impl(log_probs, out_lens, targets, target_lengths,
                    reduction='none')
     tl = jnp.maximum(target_lengths, 1).astype(jnp.float32)
     weighted = per / tl * batch_mask
@@ -81,6 +82,8 @@ class Trainer:
         self.seed = int(tcfg.get('seed', 0))
         self.log_every = int(tcfg.get('log_every_n_steps', 10))
         self.metrics_interval = int(tcfg.get('string_metrics_interval', 1))
+        self.val_every = int(tcfg.get('val_every_n_epochs', 1) or 1)
+        self.profile_dir = tcfg.get('profile_dir')
         self.print_decoded_prob = float(
             cfg['model'].get('print_decoded_prob', 0) or 0)
         self.run_dir = run_dir or tcfg.get('default_root_dir', '.')
@@ -93,6 +96,17 @@ class Trainer:
         self.ckpt_keep = int(ck.get('keep_last', 3))
         self.state: TrainState | None = None
         self._jitted = {}
+        # CTC implementation: 'auto' picks the Pallas kernels on TPU (16x
+        # faster than the scan at B=16/T=400) and the lax.scan reference
+        # elsewhere; 'scan'/'pallas' force one.
+        impl = tcfg.get('ctc_impl', 'auto') or 'auto'
+        if impl == 'auto':
+            impl = 'pallas' if jax.default_backend() == 'tpu' else 'scan'
+        if impl == 'pallas':
+            from ..ops.ctc_pallas import ctc_loss_pallas
+            self.ctc_impl = ctc_loss_pallas
+        else:
+            self.ctc_impl = ctc_loss
         from ..data.augmentations import build_augment_fn
         self.augment_fn = build_augment_fn(
             (cfg.get('data') or {}).get('augment'))
@@ -133,7 +147,7 @@ class Trainer:
                 mutable=['batch_stats'])
             loss = masked_ctc_mean(out, out_lens, batch['targets'],
                                    batch['target_lengths'],
-                                   batch['batch_mask'])
+                                   batch['batch_mask'], self.ctc_impl)
             return loss, (mutated.get('batch_stats', {}), out, out_lens)
 
         (loss, (new_stats, out, out_lens)), grads = jax.value_and_grad(
@@ -154,7 +168,8 @@ class Trainer:
         log_probs = jnp.log(jnp.clip(out, 1e-30)) if self.eval_emits_probs \
             else out
         loss = masked_ctc_mean(log_probs, out_lens, batch['targets'],
-                               batch['target_lengths'], batch['batch_mask'])
+                               batch['target_lengths'], batch['batch_mask'],
+                               self.ctc_impl)
         return loss, out, out_lens
 
     def _get_jitted(self, name):
@@ -196,6 +211,9 @@ class Trainer:
         step = int(self.state.step)
         t0 = time.time()
         utts = 0
+        from ..utils.runtime import profiler_trace
+        profile_scope = profiler_trace(self.profile_dir)
+        profile_scope.__enter__()
         for epoch in range(self.max_epochs):
             for batch in train_loader:
                 if self.max_steps is not None and step >= int(self.max_steps):
@@ -221,7 +239,7 @@ class Trainer:
                         print_decoded_prob=self.print_decoded_prob))
                 if logs:
                     self.logger.log(step, logs)
-            if val_loader is not None:
+            if val_loader is not None and (epoch + 1) % self.val_every == 0:
                 val = self.validate(val_loader)
                 self.logger.log(step, val)
                 print(f'epoch {epoch}: ' + ' '.join(
@@ -230,6 +248,7 @@ class Trainer:
                 self._ckpt.save(step, jax.device_get(self.state))
             if self.max_steps is not None and step >= int(self.max_steps):
                 break
+        profile_scope.__exit__(None, None, None)
         return self.state
 
     # ------------------------------------------------------------- validate
