@@ -104,7 +104,17 @@ class GreedyDecoder(Decoder):
         probs = np.asarray(probs)
         if probs.ndim == 2:
             probs = probs[None]
-        ids = np.argmax(probs, axis=2)
+        return self.decode_ids(np.argmax(probs, axis=2), sizes,
+                               return_offsets)
+
+    def decode_ids(self, ids, sizes=None, return_offsets: bool = False):
+        """Decode pre-argmaxed label ids [B, T].
+
+        The argmax can run on-device (a [B, T] int transfer instead of
+        [B, T, L] floats — the reference pulls full probabilities to host
+        every training batch, base_asr_models.py:83).
+        """
+        ids = np.asarray(ids)
         strings, offsets = [], []
         for b in range(ids.shape[0]):
             size = int(sizes[b]) if sizes is not None else ids.shape[1]

@@ -19,13 +19,17 @@ def string_metrics(decoder, outputs, output_lengths, texts, prefix: str,
                    rng: random.Random | None = None) -> dict:
     """Compute {prefix}_cer / {prefix}_wer / {prefix}_len_ratio.
 
-    ``outputs``: [B, T, L] probabilities or log-probabilities (greedy argmax
-    is invariant to the monotone map). Rows where ``batch_mask`` is 0
-    (shape-padding rows) are skipped.
+    ``outputs``: [B, T, L] probabilities/log-probabilities, or [B, T]
+    pre-argmaxed ids from an on-device argmax (greedy argmax is invariant
+    to the monotone map). Rows where ``batch_mask`` is 0 (shape-padding
+    rows) are skipped.
     """
     outputs = np.asarray(outputs)
     sizes = np.asarray(output_lengths)
-    decoded = decoder.decode(outputs, sizes)
+    if outputs.ndim == 2:
+        decoded = decoder.decode_ids(outputs, sizes)
+    else:
+        decoded = decoder.decode(outputs, sizes)
     rng = rng or random
     if texts and rng.random() < print_decoded_prob:
         print(f'reference: {texts[0]}')

@@ -41,6 +41,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from ..decoding import GreedyDecoder
 from ..models import Jasper
 from ..ops.ctc import ctc_loss
 from ..parallel import make_mesh, replicated_sharding, shard_batch
@@ -112,6 +113,9 @@ class Trainer:
             (cfg.get('data') or {}).get('augment'))
         # Jasper emits probabilities in eval mode (reference jasper.py:473).
         self.eval_emits_probs = isinstance(model, Jasper)
+        # Greedy decoding only needs the argmax — run it on device so the
+        # per-step metrics transfer is [B, T] ints, not [B, T, L] floats.
+        self.greedy_metrics = type(decoder) is GreedyDecoder
 
     # ----------------------------------------------------------------- init
     def init_state(self, example_batch) -> TrainState:
@@ -158,6 +162,8 @@ class Trainer:
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=new_stats, opt_state=new_opt,
                                rng=state.rng)
+        if self.greedy_metrics:
+            out = jnp.argmax(out, axis=-1).astype(jnp.int32)
         return new_state, loss, out, out_lens
 
     def _eval_step(self, state: TrainState, batch):
