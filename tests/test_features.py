@@ -71,7 +71,7 @@ def test_mel_filterbank_structure(conf):
     assert fb[0].max() > fb[-1].max()
 
 
-@pytest.mark.parametrize('method', ['matmul', 'fft'])
+@pytest.mark.parametrize('method', ['matmul', 'fft', 'conv'])
 def test_matches_torch_reference_single(conf, method):
     rng = np.random.default_rng(0)
     n = 16000  # 1 second

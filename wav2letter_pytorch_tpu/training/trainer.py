@@ -119,6 +119,11 @@ class Trainer:
 
     # ----------------------------------------------------------------- init
     def init_state(self, example_batch) -> TrainState:
+        # 'rbg' halves RNG cost on TPU vs threefry (dither + every dropout
+        # layer draws random bits each step). Raw keys carry no impl tag, so
+        # the global default must match at resume time (it is config-pinned).
+        impl = self.cfg['trainer'].get('prng_impl', 'rbg') or 'rbg'
+        jax.config.update('jax_default_prng_impl', impl)
         rng = jax.random.PRNGKey(self.seed)
         rng, init_rng = jax.random.split(rng)
         feats, flens = self.frontend(example_batch['audio'][:1],
