@@ -79,6 +79,7 @@ class MaskedConv(nn.Module):
     use_mask: bool = True
     init_mode: str = 'xavier_uniform'
     precision: str | None = None
+    dtype: Any = None
 
     def out_length(self, lens):
         return (lens + 2 * self.padding
@@ -104,7 +105,7 @@ class MaskedConv(nn.Module):
                     kernel_dilation=(self.dilation,),
                     padding=[(self.padding, self.padding)],
                     feature_group_count=groups, use_bias=self.use_bias,
-                    precision=self.precision,
+                    precision=self.precision, dtype=self.dtype,
                     kernel_init=conv_initializer(self.init_mode))(x)
 
         if self.heads != -1:
@@ -142,6 +143,7 @@ class JasperBlock(nn.Module):
     conv_mask: bool = False
     init_mode: str = 'xavier_uniform'
     precision: str | None = None
+    dtype: Any = None
 
     def _norm(self, x, name: str, *, train: bool):
         ng = self.norm_groups
@@ -170,13 +172,13 @@ class JasperBlock(nn.Module):
                                  groups=x.shape[-1], heads=self.heads,
                                  padding=pad, use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
-                                 precision=self.precision,
+                                 precision=self.precision, dtype=self.dtype,
                                  name=f'{idx}_dw')(x, lens)
             x, lens = MaskedConv(features=out_ch, kernel_size=1,
                                  groups=self.groups, padding=0,
                                  use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
-                                 precision=self.precision,
+                                 precision=self.precision, dtype=self.dtype,
                                  name=f'{idx}_pw')(x, lens)
         else:
             x, lens = MaskedConv(features=out_ch, kernel_size=kernel,
@@ -184,8 +186,10 @@ class JasperBlock(nn.Module):
                                  groups=self.groups, heads=self.heads,
                                  padding=pad, use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
-                                 precision=self.precision,
+                                 precision=self.precision, dtype=self.dtype,
                                  name=f'{idx}_conv')(x, lens)
+        if self.dtype is not None:
+            x = x.astype(jnp.float32)  # norms + residuals in f32
         x = self._norm(x, f'{idx}_norm', train=train)
         if self.groups > 1:
             x = group_shuffle(x, self.groups)
@@ -236,6 +240,7 @@ class Jasper(nn.Module):
     mid_layers: int = 1
     init_mode: str = 'xavier_uniform'
     precision: str | None = None
+    dtype: Any = None
 
     @property
     def scaling_factor(self) -> int:
@@ -273,7 +278,7 @@ class Jasper(nn.Module):
                 dense_residual=dense,
                 conv_mask=bool(b.get('conv_mask', True)),
                 init_mode=self.init_mode,
-                precision=self.precision,
+                precision=self.precision, dtype=self.dtype,
                 name=f'block{i}')
             out, lens = block(panes, lens, train=train)
             panes = panes + [out] if dense else [out]
@@ -281,7 +286,9 @@ class Jasper(nn.Module):
 
         x = nn.Conv(self.num_labels, (1,), use_bias=True,
                     kernel_init=conv_initializer(self.init_mode),
-                    precision=self.precision, name='head')(x)
+                    precision=self.precision, dtype=self.dtype,
+                    name='head')(x)
+        x = x.astype(jnp.float32)
         # log-probs in training, true probabilities in eval — the eval
         # output feeds prob-space beam search (reference jasper.py:470-473).
         out = nn.log_softmax(x, axis=-1) if train else nn.softmax(x, axis=-1)

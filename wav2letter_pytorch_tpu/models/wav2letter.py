@@ -36,6 +36,7 @@ class Conv1dBlock(nn.Module):
     use_activation: bool = True
     init_mode: str = 'xavier_uniform'
     precision: str | None = None   # None = fast bf16 MXU path; 'highest' = full f32
+    dtype: Any = None              # conv compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -47,6 +48,7 @@ class Conv1dBlock(nn.Module):
                     strides=(self.stride,),
                     kernel_dilation=(self.dilation,),
                     padding='VALID', use_bias=True, precision=self.precision,
+                    dtype=self.dtype,
                     kernel_init=conv_initializer(self.init_mode))(x)
         if self.use_bn:
             # torch BatchNorm1d(momentum=0.9, eps=1e-3): torch's momentum is
@@ -57,7 +59,7 @@ class Conv1dBlock(nn.Module):
             x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         if self.use_activation:
             x = hardtanh_0_20(x)
-        return x
+        return x.astype(jnp.float32) if self.dtype is not None else x
 
 
 class Wav2Letter(nn.Module):
@@ -72,6 +74,7 @@ class Wav2Letter(nn.Module):
     mid_layers: int = 1
     init_mode: str = 'xavier_uniform'
     precision: str | None = None
+    dtype: Any = None
 
     @property
     def scaling_factor(self) -> int:
@@ -90,11 +93,12 @@ class Wav2Letter(nn.Module):
                             dilation=int(layer.get('dilation', 1)),
                             dropout=float(layer.get('dropout', -1.0)),
                             init_mode=self.init_mode,
-                            precision=self.precision,
+                            precision=self.precision, dtype=self.dtype,
                             name=f'conv1d_{i}')(x, train=train)
         x = Conv1dBlock(features=self.num_labels, kernel_size=1, stride=1,
                         use_bn=False, use_activation=False,
                         init_mode=self.init_mode, precision=self.precision,
+                        dtype=self.dtype,
                         name=f'conv1d_{self.mid_layers}')(x, train=train)
         log_probs = nn.log_softmax(x, axis=-1)
         if input_lengths is None:

@@ -22,12 +22,18 @@ def build_labels(model_cfg) -> list[str]:
 def build_model(model_cfg, num_labels: int):
     name = model_cfg['name']
     mid_layers = int(model_cfg.get('mid_layers', 1))
+    dtype = None
+    if model_cfg.get('compute_dtype') in ('bf16', 'bfloat16'):
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16
     if name == 'wav2letter':
         return Wav2Letter(layers=[dict(l) for l in model_cfg['layers']],
-                          num_labels=num_labels, mid_layers=mid_layers)
+                          num_labels=num_labels, mid_layers=mid_layers,
+                          dtype=dtype)
     if name == 'jasper':
         return Jasper(jasper_blocks=[dict(b) for b in model_cfg['jasper_blocks']],
-                      num_labels=num_labels, mid_layers=mid_layers)
+                      num_labels=num_labels, mid_layers=mid_layers,
+                      dtype=dtype)
     raise ValueError(f'Unknown model name: {name!r} '
                      "(expected 'wav2letter' or 'jasper')")
 
