@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""On-TPU correctness checks (run on real hardware, not the CPU test mesh).
+
+CI validates the Pallas kernels in interpret mode; this script re-validates
+them compiled on the actual chip, plus frontend/CTC numerics. Run:
+
+    python scripts/run_tpu_checks.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from wav2letter_pytorch_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from wav2letter_pytorch_tpu.ops.ctc import ctc_loss
+    from wav2letter_pytorch_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+    print(f'backend: {jax.default_backend()}, devices: {jax.devices()}')
+    failures = 0
+
+    # --- Pallas CTC vs scan, compiled ----------------------------------
+    rng = np.random.default_rng(0)
+    B, T, L, S = 8, 120, 31, 40
+    lp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T, L)).astype(np.float32)), -1))
+    ll = rng.integers(80, T + 1, size=B).astype(np.int32)
+    tl = rng.integers(10, S + 1, size=B).astype(np.int32)
+    tg = rng.integers(1, L, size=(B, S)).astype(np.int32)
+    for b in range(B):
+        tg[b, tl[b]:] = 0
+    x = jnp.asarray(lp)
+    v_s, g_s = jax.jit(jax.value_and_grad(
+        lambda x: ctc_loss(x, ll, tg, tl)))(x)
+    v_p, g_p = jax.jit(jax.value_and_grad(
+        lambda x: ctc_loss_pallas(x, ll, tg, tl)))(x)
+    dv = abs(float(v_s) - float(v_p))
+    dg = float(jnp.abs(g_s - g_p).max())
+    ok = dv < 1e-4 and dg < 1e-4
+    failures += not ok
+    print(f'[{"OK" if ok else "FAIL"}] pallas-vs-scan CTC: |dv|={dv:.2e} '
+          f'|dg|max={dg:.2e}')
+
+    # --- frontend conv vs matmul vs fft, compiled ------------------------
+    from wav2letter_pytorch_tpu.data.features import (AudioConfig,
+                                                      SpectrogramFrontend)
+    audio = (rng.standard_normal((4, 32000)) * 0.1).astype(np.float32)
+    lens = np.array([32000, 24000, 16000, 9999], np.int32)
+    outs = {}
+    for method in ('conv', 'matmul', 'fft'):
+        fe = SpectrogramFrontend(AudioConfig(), n_mels=64,
+                                 stft_method=method, dither=0.0)
+        feats, _ = jax.jit(lambda a, l: fe(a, l))(audio, lens)
+        outs[method] = np.asarray(feats)
+    d1 = np.abs(outs['conv'] - outs['matmul']).max()
+    d2 = np.abs(outs['conv'] - outs['fft']).max()
+    ok = d1 < 5e-3 and d2 < 5e-3
+    failures += not ok
+    print(f'[{"OK" if ok else "FAIL"}] frontend methods agree: '
+          f'conv-matmul {d1:.2e}, conv-fft {d2:.2e}')
+
+    # --- one real sharded train step ------------------------------------
+    from __graft_entry__ import dryrun_multichip
+    try:
+        dryrun_multichip(len(jax.devices()))
+        print('[OK] sharded train step')
+    except Exception as e:  # pragma: no cover
+        failures += 1
+        print(f'[FAIL] sharded train step: {e}')
+
+    print('ALL OK' if failures == 0 else f'{failures} FAILURES')
+    return 1 if failures else 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())
