@@ -225,8 +225,10 @@ class PrefixBeamSearchLMDecoder(Decoder):
                  alpha: float = 0.3, beta: float = 5, prune: float = 1e-3):
         super().__init__(labels, blank_index)
         if lm_path:
-            import kenlm  # lazy: only needed when an LM is actually used
-            self._lm_model = kenlm.Model(lm_path)
+            # kenlm when installed; otherwise our native C++ ARPA scorer
+            # (decoding/arpa_lm.py) — same log10 score surface.
+            from .arpa_lm import load_lm
+            self._lm_model = load_lm(lm_path)
             self.lm_weigh = lambda s: 10 ** self._lm_model.score(s)
         else:
             self.lm_weigh = lambda s: 1
