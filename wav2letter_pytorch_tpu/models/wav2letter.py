@@ -37,18 +37,24 @@ class Conv1dBlock(nn.Module):
     init_mode: str = 'xavier_uniform'
     precision: str | None = None   # None = fast bf16 MXU path; 'highest' = full f32
     dtype: Any = None              # conv compute dtype (e.g. bf16); params stay f32
+    padding_mode: str = 'reflect'  # 'reflect' (reference parity) | 'zeros'
+                                   # (fuses into the conv -> no pad copy)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         left, right = same_pad_amount(x.shape[1], self.kernel_size,
                                       self.stride, self.dilation)
-        if left or right:
-            x = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode='reflect')
+        conv_padding = 'VALID'
+        if self.padding_mode == 'reflect':
+            if left or right:
+                x = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode='reflect')
+        else:
+            conv_padding = [(left, right)]
         x = nn.Conv(self.features, (self.kernel_size,),
                     strides=(self.stride,),
                     kernel_dilation=(self.dilation,),
-                    padding='VALID', use_bias=True, precision=self.precision,
-                    dtype=self.dtype,
+                    padding=conv_padding, use_bias=True,
+                    precision=self.precision, dtype=self.dtype,
                     kernel_init=conv_initializer(self.init_mode))(x)
         if self.use_bn:
             # torch BatchNorm1d(momentum=0.9, eps=1e-3): torch's momentum is
@@ -75,6 +81,7 @@ class Wav2Letter(nn.Module):
     init_mode: str = 'xavier_uniform'
     precision: str | None = None
     dtype: Any = None
+    padding_mode: str = 'reflect'
 
     @property
     def scaling_factor(self) -> int:
@@ -94,6 +101,7 @@ class Wav2Letter(nn.Module):
                             dropout=float(layer.get('dropout', -1.0)),
                             init_mode=self.init_mode,
                             precision=self.precision, dtype=self.dtype,
+                            padding_mode=self.padding_mode,
                             name=f'conv1d_{i}')(x, train=train)
         x = Conv1dBlock(features=self.num_labels, kernel_size=1, stride=1,
                         use_bn=False, use_activation=False,

@@ -29,7 +29,8 @@ def build_model(model_cfg, num_labels: int):
     if name == 'wav2letter':
         return Wav2Letter(layers=[dict(l) for l in model_cfg['layers']],
                           num_labels=num_labels, mid_layers=mid_layers,
-                          dtype=dtype)
+                          dtype=dtype,
+                          padding_mode=model_cfg.get('padding_mode', 'reflect'))
     if name == 'jasper':
         return Jasper(jasper_blocks=[dict(b) for b in model_cfg['jasper_blocks']],
                       num_labels=num_labels, mid_layers=mid_layers,
