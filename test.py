@@ -50,7 +50,11 @@ def main(argv=None):
     parser.add_argument('--print-all', action='store_true',
                         help='print every (reference, decoded) pair')
     parser.add_argument('--lm-path', default='',
-                        help='kenlm ARPA model for prefix beam search')
+                        help='ARPA LM for prefix beam search (kenlm if '
+                             'installed, else the built-in native scorer)')
+    parser.add_argument('--word-timings', action='store_true',
+                        help='print (word, start_s, end_s) per utterance '
+                             '(greedy decoder only)')
     parser.add_argument('--beam-search-params', default='',
                         help='e.g. k=16,alpha=0.5,beta=5,prune=1e-3 '
                              '(implies beam search even without --lm-path)')
@@ -63,7 +67,8 @@ def main(argv=None):
     from wav2letter_pytorch_tpu.config import ConfigNode, load_config
     from wav2letter_pytorch_tpu.data.dataset import (BucketBatchLoader,
                                                      ManifestDataset)
-    from wav2letter_pytorch_tpu.decoding import PrefixBeamSearchLMDecoder
+    from wav2letter_pytorch_tpu.decoding import (PrefixBeamSearchLMDecoder,
+                                                 get_time_per_word)
     from wav2letter_pytorch_tpu.parallel import shard_batch
     from wav2letter_pytorch_tpu.training import (Trainer, build_decoder,
                                                  build_frontend, build_labels,
@@ -133,11 +138,15 @@ def main(argv=None):
                 not trainer.eval_emits_probs:
             out = np.exp(out)
         sizes = np.asarray(out_lens)
+        offsets = None
         if isinstance(decoder, PrefixBeamSearchLMDecoder):
             decoded = [decoder.decode(out[j][:sizes[j]])
                        for j in range(out.shape[0])]
         else:
-            decoded = decoder.decode(out, sizes)
+            decoded, offsets = decoder.decode(out, sizes, return_offsets=True)
+        # seconds per output frame = window_stride x conv scaling factor
+        frame_seconds = (float(cfg.model.audio_conf.window_stride)
+                         * model.scaling_factor)
         for j, expected in enumerate(batch['texts']):
             if not batch['batch_mask'][j]:
                 continue
@@ -148,6 +157,12 @@ def main(argv=None):
             if args.print_all or (args.print_samples and j == 0):
                 print(f'reference: {expected}')
                 print(f'decoded  : {decoded[j]}')
+            if args.word_timings and offsets is not None:
+                times = get_time_per_word(list(decoded[j]),
+                                          offsets[j].tolist(),
+                                          ratio=frame_seconds)
+                print(f'timings  : ' + ' '.join(
+                    f'{w}[{s0:.2f}-{e0:.2f}]' for w, s0, e0 in times))
 
     result = {'loss': float(np.mean(losses)) if losses else None,
               'num_utterances': len(ds)}

@@ -88,3 +88,14 @@ def test_resume_from_checkpoint(trained_run, tmp_path):
     from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
     ckpt = Checkpointer(f'{run_dir}/checkpoints')
     assert ckpt.latest_step() >= 3
+
+
+def test_eval_cli_word_timings(trained_run, capsys):
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--word-timings', '--print-all'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'timings  :' in out
