@@ -15,14 +15,25 @@ import orbax.checkpoint as ocp
 
 
 class Checkpointer:
-    def __init__(self, directory: str, keep_last: int = 3):
-        self._mgr = ocp.CheckpointManager(
-            os.path.abspath(directory),
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep_last,
-                                                 create=True))
+    # Retention: keep the last `keep_last` checkpoints, or, when `monitor`
+    # is set (e.g. 'val_loss'), the best `keep_last` by that metric
+    # (Lightning-style best-k).
+    def __init__(self, directory: str, keep_last: int = 3,
+                 monitor: str | None = None, mode: str = 'min'):
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep_last, create=True,
+            best_fn=(lambda m: m.get(monitor, 0.0)) if monitor else None,
+            best_mode=mode if monitor else 'max')
+        self._monitor = monitor
+        self._mgr = ocp.CheckpointManager(os.path.abspath(directory),
+                                          options=options)
 
-    def save(self, step: int, state) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(self, step: int, state, metrics: dict | None = None) -> None:
+        kwargs = {}
+        if self._monitor:
+            kwargs['metrics'] = {k: float(v)
+                                 for k, v in (metrics or {}).items()}
+        self._mgr.save(step, args=ocp.args.StandardSave(state), **kwargs)
         self._mgr.wait_until_finished()
 
     def latest_step(self):

@@ -198,8 +198,11 @@ class Trainer:
     def fit(self, train_loader, val_loader=None, resume: bool = False):
         import os
         from .checkpoint import Checkpointer
+        ck_cfg = self.cfg['trainer'].get('checkpoint', {}) or {}
         self._ckpt = Checkpointer(f'{self.run_dir}/checkpoints',
-                                  keep_last=self.ckpt_keep)
+                                  keep_last=self.ckpt_keep,
+                                  monitor=ck_cfg.get('monitor'),
+                                  mode=ck_cfg.get('mode', 'min'))
         # Persist the composed config so offline evaluation (test.py) can
         # rebuild the exact model from --model-path alone.
         if hasattr(self.cfg, 'pretty'):
@@ -238,7 +241,14 @@ class Trainer:
                 utts += int(batch['batch_mask'].sum())
                 logs = {}
                 if step % self.log_every == 0 or step == 1:
-                    logs['train_loss'] = float(loss)
+                    loss_value = float(loss)
+                    if not np.isfinite(loss_value):
+                        # Reference parity: Jasper asserts on NaN outputs
+                        # (jasper.py:474); we fail fast at the loss level.
+                        raise FloatingPointError(
+                            f'non-finite training loss at step {step}: '
+                            f'{loss_value}')
+                    logs['train_loss'] = loss_value
                     logs['learning_rate'] = float(self.schedule(step - 1))
                     dt = time.time() - t0
                     logs['utterances_per_sec'] = utts / max(dt, 1e-9)
@@ -250,13 +260,15 @@ class Trainer:
                         print_decoded_prob=self.print_decoded_prob))
                 if logs:
                     self.logger.log(step, logs)
+            val = None
             if val_loader is not None and (epoch + 1) % self.val_every == 0:
                 val = self.validate(val_loader)
                 self.logger.log(step, val)
                 print(f'epoch {epoch}: ' + ' '.join(
                     f'{k}={v:.4f}' for k, v in val.items()))
             if (epoch + 1) % self.ckpt_every == 0:
-                self._ckpt.save(step, jax.device_get(self.state))
+                self._ckpt.save(step, jax.device_get(self.state),
+                                metrics=val)
             if self.max_steps is not None and step >= int(self.max_steps):
                 break
         profile_scope.__exit__(None, None, None)
