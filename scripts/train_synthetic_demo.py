@@ -48,7 +48,7 @@ def render(text: str, rng) -> np.ndarray:
     return audio.astype(np.float32)
 
 
-def make_corpus(root: str, n_train: int = 200, n_val: int = 40):
+def make_corpus(root: str, n_train: int = 400, n_val: int = 60):
     from wav2letter_pytorch_tpu.data.audio_io import write_wav
     rng = np.random.default_rng(0)
     os.makedirs(root, exist_ok=True)
@@ -84,7 +84,8 @@ def main(argv=None):
         f'data.train_manifest={manifests["train"]}',
         f'data.val_manifest={manifests["val"]}',
         'data.batch_size=16', 'data.num_length_buckets=2',
-        'optimizer=novograd', 'model.optimizer.lr=5e-3',
+        'optimizer=novograd', 'model.optimizer.lr=2e-3',
+        'model.scheduler.gamma=0.97',
         'model.mid_layers=3',
         'model.layers=[{output_size: 128, kernel_size: 11, stride: 2, '
         'dilation: 1, dropout: 0.1}, {output_size: 128, kernel_size: 11, '
@@ -98,14 +99,21 @@ def main(argv=None):
     rc = train_cli.main(overrides)
     assert rc == 0
 
-    # final val metrics from the metrics log
-    import csv
-    last = {}
-    with open(os.path.join(run_dir, 'metrics.csv')) as f:
-        for row in csv.DictReader(f):
-            if row['metric'].startswith('val_'):
-                last[row['metric']] = float(row['value'])
-    print(json.dumps({'demo': 'synthetic_digits', **last}))
+    # Offline evaluation through test.py on both splits: train-split WER
+    # shows fitting capacity; val-split WER shows generalization.
+    import io
+    import contextlib
+    import test as test_cli
+    results = {'demo': 'synthetic_digits'}
+    for split in ('train', 'val'):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            test_cli.main(['--model-path', run_dir,
+                           '--test-manifest', manifests[split]])
+        metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
+        results[f'{split}_wer'] = metrics['wer']
+        results[f'{split}_cer'] = metrics['cer']
+    print(json.dumps(results))
     return 0
 
 

@@ -129,3 +129,26 @@ def test_bucket_loader_max_duration(corpus):
     (batch,) = list(loader)
     assert batch['audio'].shape[1] <= int(0.8 * SR) + 1280
     assert (batch['audio_lengths'] <= batch['audio'].shape[1]).all()
+
+
+def test_loader_sharding_disjoint_and_complete(corpus):
+    """Multi-host sharding: two shards cover disjoint samples whose union is
+    the full dataset (DistributedSampler-equivalent)."""
+    manifest, _ = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    seen = {}
+    for shard in (0, 1):
+        loader = BucketBatchLoader(ds, batch_size=2, num_buckets=1,
+                                   shuffle=True, seed=7, prefetch=0,
+                                   shard_id=shard, num_shards=2)
+        texts = []
+        for b in loader:
+            for j, t in enumerate(b['texts']):
+                if b['batch_mask'][j]:
+                    texts.append(t)
+        seen[shard] = texts
+        assert len(loader) >= 1
+    all_texts = seen[0] + seen[1]
+    assert len(all_texts) == 5
+    assert sorted(all_texts) == sorted(
+        ds.df.text.tolist())

@@ -22,7 +22,6 @@ and optional ``offset``/``duration`` columns (data_loader.py:102-111).
 from __future__ import annotations
 
 import json
-import math
 import queue
 import threading
 
@@ -112,7 +111,12 @@ class BucketBatchLoader:
                  num_buckets: int = 4, max_duration: float | None = None,
                  shuffle: bool = False, seed: int = 0, prefetch: int = 2,
                  length_multiple: int = 1280, target_multiple: int = 16,
-                 drop_last: bool = False):
+                 drop_last: bool = False, shard_id: int = 0,
+                 num_shards: int = 1):
+        """``shard_id``/``num_shards``: multi-host data parallelism — each
+        host iterates a disjoint slice of the (identically shuffled) sample
+        order, replacing Lightning's DistributedSampler (SURVEY.md §2.3).
+        ``batch_size`` is the per-host batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -120,6 +124,8 @@ class BucketBatchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.target_multiple = target_multiple
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
 
         metas = [dataset.sample_meta(i) for i in range(len(dataset))]
@@ -144,18 +150,15 @@ class BucketBatchLoader:
         return len(self.bucket_edges) - 1
 
     def __len__(self):
-        n = len(self.dataset)
-        per_bucket = {}
-        for length in self.lengths:
-            b = self._bucket_of(int(length))
-            per_bucket[b] = per_bucket.get(b, 0) + 1
-        op = math.floor if self.drop_last else math.ceil
-        return sum(int(op(c / self.batch_size)) for c in per_bucket.values())
+        """Batch count for the first epoch's order (cheap: metadata only)."""
+        return sum(1 for _ in self._batch_indices(0))
 
     def _batch_indices(self, epoch: int):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards]
         buckets: dict[int, list[int]] = {}
         for idx in order:
             b = self._bucket_of(int(self.lengths[idx]))

@@ -45,9 +45,16 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
     """
     sharding = batch_sharding(mesh, axis)
     n = mesh.shape[axis]
+    multi_host = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
+            if multi_host:
+                # v is this host's shard of the global batch; assemble the
+                # global array across processes (per-host input pipelines
+                # produce disjoint slices via BucketBatchLoader shard_id).
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+                continue
             if v.shape[0] % n != 0:
                 raise ValueError(
                     f'Batch dim of {k!r} ({v.shape[0]}) must be divisible by '
