@@ -71,6 +71,7 @@ def make_corpus(root: str, n_train: int = 400, n_val: int = 60):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--epochs', type=int, default=12)
+    parser.add_argument('--n-train', type=int, default=400)
     parser.add_argument('--out', default='/tmp/w2l_synth_demo')
     args = parser.parse_args(argv)
 
@@ -78,7 +79,8 @@ def main(argv=None):
     enable_compilation_cache()
     import train as train_cli
 
-    manifests = make_corpus(os.path.join(args.out, 'data'))
+    manifests = make_corpus(os.path.join(args.out, 'data'),
+                            n_train=args.n_train)
     run_dir = os.path.join(args.out, 'run')
     overrides = [
         f'data.train_manifest={manifests["train"]}',
