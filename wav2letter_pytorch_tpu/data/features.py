@@ -172,7 +172,7 @@ class SpectrogramFrontend:
         fb = mel_filterbank(audio_conf.sample_rate, n_fft, n_mels)  # [M, K]
         self.fb_t = fb.T.copy()  # [K, M] for power @ fb_t
 
-        if stft_method in ('matmul', 'conv'):
+        if stft_method in ('matmul', 'conv', 'pallas'):
             # Windowed real DFT bases: frames @ basis == rfft(frames * window).
             k = np.arange(n_fft)[:, None]          # sample index
             f = np.arange(1 + n_fft // 2)[None, :]  # bin index
@@ -234,6 +234,15 @@ class SpectrogramFrontend:
         )(base, right, sample_lengths)
 
         n_frames = int(num_frames(T, self.hop))
+
+        if self.stft_method == 'pallas':
+            # Fully fused framing+DFT+power+mel+log kernel (ops/stft_pallas):
+            # nothing but the log-mel output leaves VMEM.
+            from ..ops.stft_pallas import stft_mel_log_pallas
+            feats = stft_mel_log_pallas(padded, n_frames, self.hop,
+                                        self.n_fft, self.dft_re, self.dft_im,
+                                        self.fb_t)
+            return self._normalize(feats, sample_lengths, n_frames)
 
         # precision='highest' forces true fp32 MXU accumulation — the default
         # bf16 matmul path loses ~1e-1 absolute on spectral power.

@@ -56,8 +56,14 @@ def build_frontend(model_cfg, dither: float | None = None) -> SpectrogramFronten
                        window_stride=float(ac['window_stride']),
                        window=ac.get('window', 'hamming'))
     kwargs = {} if dither is None else {'dither': dither}
+    method = model_cfg.get('stft_method', 'auto') or 'auto'
+    if method == 'auto':
+        # Fused Pallas kernel on TPU (ops/stft_pallas.py, ~20% faster than
+        # the strided-conv XLA path); conv elsewhere.
+        import jax
+        method = 'pallas' if jax.default_backend() == 'tpu' else 'conv'
     return SpectrogramFrontend(conf, n_mels=model_input_size(model_cfg),
-                               **kwargs)
+                               stft_method=method, **kwargs)
 
 
 def build_decoder(model_cfg, labels):
