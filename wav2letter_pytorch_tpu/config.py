@@ -18,12 +18,9 @@ reimplements that surface without Hydra:
 
 from __future__ import annotations
 
-import copy
 import importlib
 import os
 import re
-from typing import Any
-
 import yaml
 
 MISSING = '???'

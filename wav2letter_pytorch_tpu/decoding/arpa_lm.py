@@ -10,7 +10,6 @@ handling matching kenlm's ``Model.score(s, bos=True, eos=True)``.
 from __future__ import annotations
 
 import ctypes
-import os
 
 from .levenshtein import _load_native
 
