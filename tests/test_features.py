@@ -137,3 +137,24 @@ def test_8k_variant():
     feats, flens = frontend(audio[None], np.array([8000]))
     assert np.asarray(feats).shape == (1, num_frames(8000, conf8.hop_samples), 64)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_mfcc_feature_type(conf):
+    """MFCC = orthonormal DCT-II of the log-mel bands, checked vs scipy."""
+    from scipy.fftpack import dct as scipy_dct
+    rng = np.random.default_rng(7)
+    audio = _sine_noise(rng, 8000, conf.sample_rate)
+
+    logmel_fe = SpectrogramFrontend(conf, n_mels=64, dither=0.0)
+    # reproduce the un-normalized log-mel by disabling normalization via
+    # manual recomputation: use the mfcc frontend and invert its norm? No —
+    # instead compare the DCT matrix application directly.
+    mfcc_fe = SpectrogramFrontend(conf, n_mels=64, dither=0.0,
+                                  feature_type='mfcc', n_mfcc=20)
+    ref_dct = scipy_dct(np.eye(64), type=2, norm='ortho', axis=0).T[:, :20]
+    np.testing.assert_allclose(mfcc_fe.dct, ref_dct.astype(np.float32),
+                               rtol=1e-5, atol=1e-6)
+
+    feats, flens = mfcc_fe(audio[None], np.array([8000]))
+    assert np.asarray(feats).shape[-1] == 20
+    assert np.isfinite(np.asarray(feats)).all()

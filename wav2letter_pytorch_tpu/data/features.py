@@ -151,11 +151,28 @@ class SpectrogramFrontend:
     """
 
     def __init__(self, audio_conf: AudioConfig, n_mels: int = 64,
-                 stft_method: str = 'conv', dither: float = DITHER):
+                 stft_method: str = 'conv', dither: float = DITHER,
+                 feature_type: str = 'logmel', n_mfcc: int | None = None):
+        """``feature_type``: 'logmel' (reference behavior) or 'mfcc'
+        (orthonormal DCT-II over the log-mel bands — the wav2letter paper's
+        frontend, which the reference notes it does NOT implement,
+        README.md:74; offered here for completeness)."""
         self.conf = audio_conf
         self.n_mels = n_mels
         self.stft_method = stft_method
         self.dither = dither
+        self.feature_type = feature_type
+        self.n_mfcc = n_mfcc or n_mels
+        if feature_type == 'mfcc':
+            # Orthonormal DCT-II basis [n_mels, n_mfcc].
+            k = np.arange(n_mels)[:, None]
+            j = np.arange(self.n_mfcc)[None, :]
+            dct = np.cos(np.pi * (2 * k + 1) * j / (2 * n_mels))
+            dct *= np.sqrt(2.0 / n_mels)
+            dct[:, 0] *= np.sqrt(0.5)
+            self.dct = dct.astype(np.float32)
+        elif feature_type != 'logmel':
+            raise ValueError(f'unknown feature_type: {feature_type!r}')
         n_fft = audio_conf.n_fft
         win_len = audio_conf.window_size_samples
         self.hop = audio_conf.hop_samples
@@ -289,9 +306,13 @@ class SpectrogramFrontend:
         return self._normalize(feats, sample_lengths, n_frames)
 
     def _normalize(self, feats, sample_lengths, n_frames: int):
-        """Masked per-feature normalization over each sample's valid frames
-        (unbiased std, matching torch .std() in the reference), then zero
-        padding frames as the reference collator would."""
+        """Optional DCT (mfcc), then masked per-feature normalization over
+        each sample's valid frames (unbiased std, matching torch .std() in
+        the reference), then zero padding frames as the reference collator
+        would."""
+        if self.feature_type == 'mfcc':
+            feats = jnp.einsum('bfm,mc->bfc', feats, self.dct,
+                               precision='highest')
         flens = self.frame_lengths(sample_lengths)
         mask = (jnp.arange(n_frames)[None, :] < flens[:, None])  # [B, F]
         maskf = mask[:, :, None].astype(feats.dtype)

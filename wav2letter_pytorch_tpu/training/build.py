@@ -63,7 +63,11 @@ def build_frontend(model_cfg, dither: float | None = None) -> SpectrogramFronten
         import jax
         method = 'pallas' if jax.default_backend() == 'tpu' else 'conv'
     return SpectrogramFrontend(conf, n_mels=model_input_size(model_cfg),
-                               stft_method=method, **kwargs)
+                               stft_method=method,
+                               feature_type=model_cfg.get('feature_type',
+                                                          'logmel'),
+                               n_mfcc=model_cfg.get('n_mfcc'),
+                               **kwargs)
 
 
 def build_decoder(model_cfg, labels):
