@@ -142,6 +142,10 @@ def main(argv=None):
         if isinstance(decoder, PrefixBeamSearchLMDecoder):
             decoded = [decoder.decode(out[j][:sizes[j]])
                        for j in range(out.shape[0])]
+        elif out.ndim == 2:
+            # greedy path: eval_step already argmaxed on device
+            decoded, offsets = decoder.decode_ids(out, sizes,
+                                                  return_offsets=True)
         else:
             decoded, offsets = decoder.decode(out, sizes, return_offsets=True)
         # seconds per output frame = window_stride x conv scaling factor

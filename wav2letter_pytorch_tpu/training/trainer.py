@@ -181,6 +181,10 @@ class Trainer:
         loss = masked_ctc_mean(log_probs, out_lens, batch['targets'],
                                batch['target_lengths'], batch['batch_mask'],
                                self.ctc_impl)
+        if self.greedy_metrics:
+            # On-device argmax: [B, T] int transfer instead of [B, T, L]
+            # floats per validation batch.
+            out = jnp.argmax(out, axis=-1).astype(jnp.int32)
         return loss, out, out_lens
 
     def _get_jitted(self, name):
@@ -228,13 +232,23 @@ class Trainer:
         from ..utils.runtime import profiler_trace
         profile_scope = profiler_trace(self.profile_dir)
         profile_scope.__enter__()
+        def _with_device_batches(loader):
+            # One-batch lookahead: the next batch's host->device transfer
+            # overlaps the current step's execution.
+            pending = None
+            for batch in loader:
+                db = shard_batch({k: v for k, v in batch.items()
+                                  if isinstance(v, np.ndarray)}, self.mesh)
+                if pending is not None:
+                    yield pending
+                pending = (batch, db)
+            if pending is not None:
+                yield pending
+
         for epoch in range(self.max_epochs):
-            for batch in train_loader:
+            for batch, device_batch in _with_device_batches(train_loader):
                 if self.max_steps is not None and step >= int(self.max_steps):
                     break
-                device_batch = shard_batch(
-                    {k: v for k, v in batch.items()
-                     if isinstance(v, np.ndarray)}, self.mesh)
                 self.state, loss, out, out_lens = train_step(self.state,
                                                              device_batch)
                 step += 1
@@ -285,8 +299,10 @@ class Trainer:
                  if isinstance(v, np.ndarray)}, self.mesh)
             loss, out, out_lens = eval_step(self.state, device_batch)
             losses.append(float(loss))
-            decoded = self.decoder.decode(np.asarray(out),
-                                          np.asarray(out_lens))
+            out = np.asarray(out)
+            sizes = np.asarray(out_lens)
+            decoded = (self.decoder.decode_ids(out, sizes) if out.ndim == 2
+                       else self.decoder.decode(out, sizes))
             for j, expected in enumerate(batch['texts']):
                 if not batch['batch_mask'][j]:
                     continue
