@@ -117,3 +117,25 @@ def test_loss_decreases_when_overfitting(tmp_path):
         trainer.state, loss, _, _ = step(trainer.state, db)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_grad_clip_and_accumulation(tmp_path):
+    """trainer.gradient_clip_val / accumulate_grad_batches knobs wire up."""
+    manifest = _make_corpus(tmp_path, n=4, seed=2)
+    import train as train_cli
+    rc = train_cli.main([
+        f'data.train_manifest={manifest}',
+        f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model.input_size=32',
+        'model.layers=[{output_size: 16, kernel_size: 5, stride: 2, '
+        'dilation: 1, dropout: -1.0}]',
+        'trainer.max_epochs=1', 'trainer.max_steps=2',
+        'trainer.string_metrics_interval=0',
+        'trainer.mesh.data=2',
+        '+trainer.gradient_clip_val=1.0',
+        '+trainer.accumulate_grad_batches=2',
+        f'trainer.default_root_dir={tmp_path / "run"}',
+    ])
+    assert rc == 0
+    assert 'train_loss' in (tmp_path / 'run' / 'metrics.csv').read_text()

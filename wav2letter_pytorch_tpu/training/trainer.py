@@ -74,10 +74,19 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.frontend = frontend
-        self.optimizer = optimizer
         self.schedule = schedule
         self.decoder = decoder
         tcfg = cfg['trainer']
+        # Lightning-Trainer-parity knobs the reference reaches through
+        # Trainer(**cfg.trainer): gradient clipping and accumulation.
+        clip = tcfg.get('gradient_clip_val')
+        if clip:
+            optimizer = optax.chain(optax.clip_by_global_norm(float(clip)),
+                                    optimizer)
+        accum = int(tcfg.get('accumulate_grad_batches', 1) or 1)
+        if accum > 1:
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
+        self.optimizer = optimizer
         self.max_epochs = int(tcfg.get('max_epochs', 5))
         self.max_steps = tcfg.get('max_steps')
         self.seed = int(tcfg.get('seed', 0))
