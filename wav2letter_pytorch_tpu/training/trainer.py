@@ -147,6 +147,9 @@ class Trainer:
                            rng=rng)
         repl = replicated_sharding(self.mesh)
         self.state = jax.device_put(state, repl)
+        from ..utils import model_summary
+        print(f'{type(self.model).__name__} parameters:')
+        print(model_summary(params))
         return self.state
 
     # ---------------------------------------------------------------- steps

@@ -1,3 +1,3 @@
-from .runtime import enable_compilation_cache
+from .runtime import enable_compilation_cache, model_summary
 
-__all__ = ['enable_compilation_cache']
+__all__ = ['enable_compilation_cache', 'model_summary']

@@ -36,3 +36,24 @@ def profiler_trace(logdir: str | None):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def model_summary(params) -> str:
+    """Parameter-count table (Lightning's example_input_array summary
+    equivalent, reference base_asr_models.py:25-31)."""
+    import jax
+    import numpy as np
+    lines = []
+    total = 0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    per_module = {}
+    for path, leaf in flat:
+        module = str(path[0].key) if path else '?'
+        n = int(np.prod(leaf.shape)) if hasattr(leaf, 'shape') else 1
+        per_module[module] = per_module.get(module, 0) + n
+        total += n
+    width = max((len(m) for m in per_module), default=6)
+    for module, n in per_module.items():
+        lines.append(f'  {module:<{width}}  {n:>12,}')
+    lines.append(f'  {"TOTAL":<{width}}  {total:>12,}')
+    return '\n'.join(lines)
