@@ -152,3 +152,15 @@ def test_loader_sharding_disjoint_and_complete(corpus):
     assert len(all_texts) == 5
     assert sorted(all_texts) == sorted(
         ds.df.text.tolist())
+
+
+def test_prefetch_worker_errors_propagate(corpus, tmp_path):
+    """Exceptions in the prefetch thread must surface, not end iteration."""
+    import os
+    manifest, rows = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    loader = BucketBatchLoader(ds, batch_size=2, num_buckets=1, prefetch=2)
+    # Delete an audio file after length scanning -> read fails mid-epoch.
+    os.remove(rows[0]['audio_filepath'])
+    with pytest.raises(FileNotFoundError):
+        list(loader)

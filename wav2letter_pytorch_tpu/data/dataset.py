@@ -217,8 +217,9 @@ class BucketBatchLoader:
             try:
                 for b, idxs in self._batch_indices(epoch):
                     q.put(self._make_batch(b, idxs))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # re-raised on the consumer side
+                q.put(e)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
@@ -226,5 +227,8 @@ class BucketBatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
             yield item
         thread.join()
