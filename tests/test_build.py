@@ -81,3 +81,17 @@ def test_string_metrics_printing(capsys):
     assert m['train_cer'] == 0
     assert m['train_wer'] == 0
     assert m['train_len_ratio'] == 1.0
+
+
+def test_init_mode_plumbed():
+    mcfg = dict(_model_cfg())
+    mcfg['init_mode'] = 'kaiming_normal'
+    model = build_model(mcfg, 29)
+    assert model.init_mode == 'kaiming_normal'
+    import jax
+    import jax.numpy as jnp
+    v = model.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 64)),
+                   jnp.array([32]), train=False)
+    import numpy as np
+    assert np.isfinite(np.asarray(
+        jax.tree.leaves(v['params'])[0])).all()

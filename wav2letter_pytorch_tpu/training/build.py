@@ -26,15 +26,16 @@ def build_model(model_cfg, num_labels: int):
     if model_cfg.get('compute_dtype') in ('bf16', 'bfloat16'):
         import jax.numpy as jnp
         dtype = jnp.bfloat16
+    init_mode = model_cfg.get('init_mode', 'xavier_uniform')
     if name == 'wav2letter':
         return Wav2Letter(layers=[dict(l) for l in model_cfg['layers']],
                           num_labels=num_labels, mid_layers=mid_layers,
-                          dtype=dtype,
+                          dtype=dtype, init_mode=init_mode,
                           padding_mode=model_cfg.get('padding_mode', 'reflect'))
     if name == 'jasper':
         return Jasper(jasper_blocks=[dict(b) for b in model_cfg['jasper_blocks']],
                       num_labels=num_labels, mid_layers=mid_layers,
-                      dtype=dtype)
+                      dtype=dtype, init_mode=init_mode)
     raise ValueError(f'Unknown model name: {name!r} '
                      "(expected 'wav2letter' or 'jasper')")
 
