@@ -72,6 +72,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--epochs', type=int, default=12)
     parser.add_argument('--n-train', type=int, default=400)
+    parser.add_argument('--augment', action='store_true',
+                        help='enable SpecAugment during training')
     parser.add_argument('--out', default='/tmp/w2l_synth_demo')
     args = parser.parse_args(argv)
 
@@ -93,6 +95,8 @@ def main(argv=None):
         'dilation: 1, dropout: 0.1}, {output_size: 128, kernel_size: 11, '
         'stride: 1, dilation: 1, dropout: 0.1}, {output_size: 256, '
         'kernel_size: 13, stride: 1, dilation: 1, dropout: 0.1}]',
+        *(['data.augment={spec_augment: {freq_masks: 2, time_masks: 2, '
+           'freq_width: 8, time_width: 12}}'] if args.augment else []),
         f'trainer.max_epochs={args.epochs}',
         'trainer.string_metrics_interval=20',
         'trainer.log_every_n_steps=20',
