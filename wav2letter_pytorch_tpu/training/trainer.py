@@ -257,6 +257,23 @@ class Trainer:
             if pending is not None:
                 yield pending
 
+        # String metrics are computed one step late: the device->host fetch
+        # of step i's argmax ids overlaps step i+1's execution instead of
+        # stalling the accelerator (the reference decodes synchronously
+        # every batch, base_asr_models.py:83).
+        pending_metrics = None
+
+        def _flush_metrics():
+            nonlocal pending_metrics
+            if pending_metrics is None:
+                return
+            m_step, m_out, m_lens, m_texts, m_mask = pending_metrics
+            pending_metrics = None
+            self.logger.log(m_step, string_metrics(
+                self.decoder, np.asarray(m_out), np.asarray(m_lens),
+                m_texts, 'train', batch_mask=m_mask,
+                print_decoded_prob=self.print_decoded_prob))
+
         for epoch in range(self.max_epochs):
             for batch, device_batch in _with_device_batches(train_loader):
                 if self.max_steps is not None and step >= int(self.max_steps):
@@ -265,6 +282,7 @@ class Trainer:
                                                              device_batch)
                 step += 1
                 utts += int(batch['batch_mask'].sum())
+                _flush_metrics()
                 logs = {}
                 if step % self.log_every == 0 or step == 1:
                     loss_value = float(loss)
@@ -279,13 +297,11 @@ class Trainer:
                     dt = time.time() - t0
                     logs['utterances_per_sec'] = utts / max(dt, 1e-9)
                 if self.metrics_interval and step % self.metrics_interval == 0:
-                    logs.update(string_metrics(
-                        self.decoder, np.asarray(out), np.asarray(out_lens),
-                        batch['texts'], 'train',
-                        batch_mask=batch['batch_mask'],
-                        print_decoded_prob=self.print_decoded_prob))
+                    pending_metrics = (step, out, out_lens, batch['texts'],
+                                       batch['batch_mask'])
                 if logs:
                     self.logger.log(step, logs)
+            _flush_metrics()
             val = None
             if val_loader is not None and (epoch + 1) % self.val_every == 0:
                 val = self.validate(val_loader)
