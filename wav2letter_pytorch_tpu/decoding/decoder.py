@@ -28,6 +28,28 @@ from ..data.label_sets import resolve_labels
 _WORD_RE = re.compile(r'\w+[\s|>]')
 
 
+def _native_greedy_collapse(sequence, size: int, blank_index: int):
+    """(ids, offsets) via native/greedy.cpp, or None when unavailable."""
+    import ctypes
+    lib = levenshtein._load_native()
+    if lib is None:
+        return None
+    if not getattr(lib, '_greedy_configured', False):
+        lib.w2l_greedy_collapse.restype = ctypes.c_int64
+        lib.w2l_greedy_collapse.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib._greedy_configured = True
+    ids = np.ascontiguousarray(sequence[:size], dtype=np.int32)
+    out_ids = np.empty(max(size, 1), np.int32)
+    out_off = np.empty(max(size, 1), np.int32)
+    n = lib.w2l_greedy_collapse(
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), size, blank_index,
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out_ids[:n].tolist(), out_off[:n].copy()
+
+
 class Decoder:
     """Base decoder: label bookkeeping + string metrics.
 
@@ -77,11 +99,23 @@ class GreedyDecoder(Decoder):
     """Argmax decoding: collapse repeats, strip blanks, report offsets."""
 
     def process_sequence(self, sequence, size: int):
-        """Collapse one argmax id sequence into a string + per-char offsets."""
+        """Collapse one argmax id sequence into a string + per-char offsets.
+
+        Uses the C++ collapse kernel when built (native/greedy.cpp): the
+        per-character Python loop dominates metric cost when decoding every
+        training batch, as the reference does.
+        """
+        size = int(size)
+        collapsed = _native_greedy_collapse(sequence, size, self.blank_index)
+        if collapsed is not None:
+            ids, offsets = collapsed
+            chars = [' ' if i == self.space_index else self.int_to_char[i]
+                     for i in ids]
+            return ''.join(chars), offsets
         chars = []
         offsets = []
         prev = None
-        for i in range(int(size)):
+        for i in range(size):
             idx = int(sequence[i])
             if idx != self.blank_index:
                 if prev is not None and idx == prev:
