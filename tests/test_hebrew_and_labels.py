@@ -78,6 +78,7 @@ def test_hebrew_training_path(tmp_path):
         'model.layers=[{output_size: 16, kernel_size: 5, stride: 2, '
         'dilation: 1, dropout: -1.0}]',
         'trainer.max_epochs=1', 'trainer.max_steps=2',
+        'trainer.string_metrics_interval=1',
         'trainer.mesh.data=2',
         f'trainer.default_root_dir={tmp_path / "run"}',
     ])

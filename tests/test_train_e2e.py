@@ -49,6 +49,7 @@ def overrides(tmp_path):
         'trainer.max_epochs=1',
         'trainer.max_steps=4',
         'trainer.log_every_n_steps=1',
+        'trainer.string_metrics_interval=1',
         'trainer.mesh.data=2',
         f'trainer.default_root_dir={run_dir}',
     ]
