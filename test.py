@@ -106,10 +106,12 @@ def main(argv=None):
     trainer = Trainer(cfg, model, frontend, optimizer, schedule, decoder,
                       run_dir=args.model_path)
     ds = ManifestDataset(args.test_manifest, cfg.data.audio_conf, labels)
+    ac = cfg.data.audio_conf
     loader = BucketBatchLoader(
         ds, args.batch_size or int(cfg.data.batch_size),
         num_buckets=int(cfg.data.get('num_length_buckets', 4)),
-        max_duration=cfg.data.get('max_duration'), shuffle=False)
+        max_duration=cfg.data.get('max_duration'), shuffle=False,
+        frame_hop=int(ac['sample_rate'] * ac['window_stride']))
 
     first = next(iter(loader))
     trainer.init_state(first)

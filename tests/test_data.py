@@ -164,3 +164,17 @@ def test_prefetch_worker_errors_propagate(corpus, tmp_path):
     os.remove(rows[0]['audio_filepath'])
     with pytest.raises(FileNotFoundError):
         list(loader)
+
+
+def test_frame_aligned_bucket_edges(corpus):
+    """With frame_hop set, every bucket edge yields frame counts ≡ 0 mod 8."""
+    manifest, _ = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    loader = BucketBatchLoader(ds, batch_size=2, num_buckets=3, prefetch=0,
+                               frame_hop=160)
+    for edge in loader.bucket_edges:
+        assert (1 + edge // 160) % 8 == 0, edge
+    # edges still cover the longest sample
+    assert max(loader.bucket_edges) >= loader.lengths.max()
+    total = sum(int(b['batch_mask'].sum()) for b in loader)
+    assert total == 5

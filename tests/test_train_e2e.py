@@ -140,3 +140,37 @@ def test_grad_clip_and_accumulation(tmp_path):
     ])
     assert rc == 0
     assert 'train_loss' in (tmp_path / 'run' / 'metrics.csv').read_text()
+
+
+def test_training_is_deterministic(tmp_path):
+    """Same seed -> bit-identical loss trajectory (shuffle, dither, dropout
+    are all PRNG-keyed on seed and step)."""
+    manifest = _make_corpus(tmp_path, n=4, seed=3)
+    import train as train_cli
+
+    def run(tag):
+        run_dir = tmp_path / tag
+        rc = train_cli.main([
+            f'data.train_manifest={manifest}',
+            f'data.val_manifest={manifest}',
+            'data.batch_size=2', 'data.num_length_buckets=1',
+            'model.input_size=32',
+            'model.layers=[{output_size: 16, kernel_size: 5, stride: 2, '
+            'dilation: 1, dropout: 0.2}]',
+            'trainer.max_epochs=2', 'trainer.max_steps=3',
+            'trainer.log_every_n_steps=1', 'trainer.seed=7',
+            'trainer.string_metrics_interval=0',
+            'trainer.mesh.data=2',
+            f'trainer.default_root_dir={run_dir}',
+        ])
+        assert rc == 0
+        losses = []
+        for line in (run_dir / 'metrics.csv').read_text().splitlines()[1:]:
+            _, _, metric, value = line.split(',')
+            if metric == 'train_loss':
+                losses.append(value)
+        return losses
+
+    first, second = run('a'), run('b')
+    assert len(first) == 3
+    assert first == second

@@ -24,9 +24,12 @@ from wav2letter_pytorch_tpu.training import (Trainer, build_decoder,
 
 
 def get_data_loaders(labels, data_cfg):
+    ac = data_cfg['audio_conf']
+    hop = int(ac['sample_rate'] * ac['window_stride'])
     kwargs = dict(num_buckets=int(data_cfg.get('num_length_buckets', 4)),
                   max_duration=data_cfg.get('max_duration'),
-                  prefetch=int(data_cfg.get('prefetch', 2)))
+                  prefetch=int(data_cfg.get('prefetch', 2)),
+                  frame_hop=hop)
     train_ds = ManifestDataset(data_cfg['train_manifest'],
                                data_cfg['audio_conf'], labels)
     train_loader = BucketBatchLoader(train_ds, int(data_cfg['batch_size']),

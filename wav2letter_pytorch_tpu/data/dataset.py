@@ -112,7 +112,7 @@ class BucketBatchLoader:
                  shuffle: bool = False, seed: int = 0, prefetch: int = 2,
                  length_multiple: int = 1280, target_multiple: int = 16,
                  drop_last: bool = False, shard_id: int = 0,
-                 num_shards: int = 1):
+                 num_shards: int = 1, frame_hop: int | None = None):
         """``shard_id``/``num_shards``: multi-host data parallelism — each
         host iterates a disjoint slice of the (identically shuffled) sample
         order, replacing Lightning's DistributedSampler (SURVEY.md §2.3).
@@ -135,10 +135,21 @@ class BucketBatchLoader:
         self.lengths = np.minimum(self.lengths, max_samples)
 
         # Bucket edges at length quantiles, rounded to a coarse multiple so
-        # near-identical buckets collapse (fewer compiled shapes).
+        # near-identical buckets collapse (fewer compiled shapes). With a
+        # known STFT hop, edges are chosen so the frame count (1 + T/hop)
+        # is a multiple of 8 — frames land on the TPU sublane tile exactly
+        # (~2% faster conv stack than worst-case alignment).
+        if frame_hop:
+            def edge(x):
+                target = (8 * frame_hop) - frame_hop  # T ≡ 7*hop (mod 8*hop)
+                m = 8 * frame_hop
+                return ((max(int(x) - target, 0) + m - 1) // m) * m + target
+        else:
+            def edge(x):
+                return _round_up(int(x), length_multiple)
         qs = np.quantile(self.lengths, np.linspace(0, 1, num_buckets + 1)[1:])
-        edges = sorted({_round_up(int(q), length_multiple) for q in qs})
-        edges[-1] = max(_round_up(max_samples, length_multiple), edges[-1])
+        edges = sorted({edge(q) for q in qs})
+        edges[-1] = max(edge(max_samples), edges[-1])
         self.bucket_edges = edges
         self.max_target_len = max(
             (len(dataset.encode_text(m[1])) for m in metas), default=1)
