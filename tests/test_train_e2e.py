@@ -174,3 +174,36 @@ def test_training_is_deterministic(tmp_path):
     first, second = run('a'), run('b')
     assert len(first) == 3
     assert first == second
+
+
+def test_jasper_cli_end_to_end(tmp_path):
+    """model=jasper through train.py and test.py (eval emits probabilities)."""
+    manifest = _make_corpus(tmp_path, n=4, seed=4)
+    run_dir = tmp_path / 'jrun'
+    import train as train_cli
+    rc = train_cli.main([
+        f'data.train_manifest={manifest}',
+        f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model=jasper', 'model.input_size=32', 'model.mid_layers=2',
+        'model.jasper_blocks=[{layer_size: 16, kernel_size: 7, stride: 2, '
+        'residual: false, separable: true}, {layer_size: 16, kernel_size: 7, '
+        'stride: 1, residual: true, separable: true}]',
+        'trainer.max_epochs=1', 'trainer.max_steps=2',
+        'trainer.string_metrics_interval=1',
+        'trainer.mesh.data=2',
+        f'trainer.default_root_dir={run_dir}',
+    ])
+    assert rc == 0
+    assert 'train_wer' in (run_dir / 'metrics.csv').read_text()
+
+    import json as json_mod
+    import test as test_cli
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = test_cli.main(['--model-path', str(run_dir),
+                            '--test-manifest', manifest])
+    assert rc == 0
+    result = json_mod.loads(buf.getvalue().strip().splitlines()[-1])
+    assert 'wer' in result and result['loss'] is not None
