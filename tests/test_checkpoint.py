@@ -1,0 +1,47 @@
+"""Checkpointer: retention, best-k by metric, save/restore round trips."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wav2letter_pytorch_tpu.training.checkpoint import (Checkpointer,
+                                                        load_params,
+                                                        save_params)
+
+
+def _state(x):
+    return {'params': {'w': jnp.full((4,), float(x))},
+            'step': jnp.asarray(x, jnp.int32)}
+
+
+def test_keep_last_retention(tmp_path):
+    ck = Checkpointer(str(tmp_path / 'ck'), keep_last=2)
+    for step in (1, 2, 3):
+        ck.save(step, _state(step))
+    assert ck.latest_step() == 3
+    restored = ck.restore(_state(0))
+    assert int(restored['step']) == 3
+    np.testing.assert_allclose(np.asarray(restored['params']['w']), 3.0)
+    # oldest checkpoint was dropped by keep_last=2 retention
+    with pytest.raises(FileNotFoundError):
+        ck.restore(_state(0), step=1)
+    ck.close()
+
+
+def test_best_k_by_metric(tmp_path):
+    ck = Checkpointer(str(tmp_path / 'ck'), keep_last=1, monitor='val_loss')
+    ck.save(1, _state(1), metrics={'val_loss': 5.0})
+    ck.save(2, _state(2), metrics={'val_loss': 1.0})   # best
+    ck.save(3, _state(3), metrics={'val_loss': 9.0})
+    # keep_last=1 with best_fn keeps the best step (2), not the latest
+    restored = ck.restore(_state(0), step=2)
+    assert int(restored['step']) == 2
+    ck.close()
+
+
+def test_one_shot_params_roundtrip(tmp_path):
+    tree = {'a': jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    save_params(str(tmp_path / 'p'), tree)
+    loaded = load_params(str(tmp_path / 'p'), template=tree)
+    np.testing.assert_array_equal(np.asarray(loaded['a']),
+                                  np.asarray(tree['a']))
