@@ -6,6 +6,8 @@ numerical equivalence — the global-batch SPMD formulation must make device
 count invisible to the math (incl. cross-replica BatchNorm).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -109,3 +111,26 @@ def test_validation_on_mesh(tmp_path):
     metrics = trainer.validate(OneBatchLoader())
     assert np.isfinite(metrics['val_loss'])
     assert 'val_wer' in metrics
+
+
+def test_dryrun_multichip_driver_call(tmp_path):
+    """Replicate the driver EXACTLY: fresh process, ambient env (axon
+    platform pinned), direct import + call — no __main__ guard, no
+    XLA_FLAGS preparation. Regression for round-1's red MULTICHIP check.
+    """
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    # Undo conftest's CPU forcing so the subprocess sees the pristine env.
+    env.pop('JAX_PLATFORMS', None)
+    env['XLA_FLAGS'] = env.get('XLA_FLAGS', '').replace(
+        '--xla_force_host_platform_device_count=8', '').strip()
+    proc = subprocess.run(
+        [sys.executable, '-c',
+         'import __graft_entry__; __graft_entry__.dryrun_multichip(8)'],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert 'dryrun_multichip(8)' in proc.stdout
