@@ -67,3 +67,16 @@ def test_unknown_augmentation_rejected():
     import pytest
     with pytest.raises(ValueError, match='Unknown augmentation'):
         build_augment_fn({'nope': {}})
+
+
+def test_false_disables_augmentation():
+    """`spec_augment: false` in config must disable it, not enable-with-
+    defaults (kwargs=False used to be coerced to {})."""
+    assert build_augment_fn({'spec_augment': False}) is None
+    # ...while True / None / {} mean enabled-with-defaults
+    fn = build_augment_fn({'spec_augment': True})
+    out = fn(jax.random.PRNGKey(0), _feats())
+    assert out.shape == _feats().shape
+    # a disabled step alongside an enabled one is skipped
+    fn = build_augment_fn({'spec_cutout': False, 'spec_augment': {}})
+    assert fn is not None

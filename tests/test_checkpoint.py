@@ -45,3 +45,26 @@ def test_one_shot_params_roundtrip(tmp_path):
     loaded = load_params(str(tmp_path / 'p'), template=tree)
     np.testing.assert_array_equal(np.asarray(loaded['a']),
                                   np.asarray(tree['a']))
+
+
+def test_metricless_saves_never_beat_real_metrics(tmp_path):
+    """Checkpoint cadence ≠ val cadence: saves without the monitored metric
+    must not rank as 'best' (a 0.0 default under mode='min' used to beat
+    every real val_loss and evict the genuinely-best checkpoints)."""
+    ck = Checkpointer(str(tmp_path / 'ck'), keep_last=1, monitor='val_loss')
+    ck.save(1, _state(1), metrics={'val_loss': 1.0})   # the true best
+    ck.save(2, _state(2), metrics=None)                # no val this epoch
+    ck.save(3, _state(3), metrics={'val_loss': 9.0})
+    # step 1 (best val_loss) must survive best-k retention
+    restored = ck.restore(_state(0), step=1)
+    assert int(restored['step']) == 1
+    ck.close()
+
+
+def test_metric_dict_without_monitor_key(tmp_path):
+    ck = Checkpointer(str(tmp_path / 'ck'), keep_last=1, monitor='val_loss')
+    ck.save(1, _state(1), metrics={'val_loss': 2.0})
+    ck.save(2, _state(2), metrics={'other': 0.0})      # monitor key absent
+    restored = ck.restore(_state(0), step=1)
+    assert int(restored['step']) == 1
+    ck.close()

@@ -178,3 +178,21 @@ def test_frame_aligned_bucket_edges(corpus):
     assert max(loader.bucket_edges) >= loader.lengths.max()
     total = sum(int(b['batch_mask'].sum()) for b in loader)
     assert total == 5
+
+
+def test_peek_batch_preserves_epoch_and_threads(corpus):
+    """peek_batch must not consume the epoch counter (shuffle orders shift
+    off by one) nor start a prefetch worker (leaked thread per peek)."""
+    import threading
+    manifest, _ = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    loader = BucketBatchLoader(ds, batch_size=2, num_buckets=2, shuffle=True,
+                               seed=3, prefetch=2)
+    n_threads = threading.active_count()
+    peeked = loader.peek_batch()
+    assert peeked is not None and peeked['audio'].shape[0] == 2
+    assert loader.epoch == 0
+    assert threading.active_count() == n_threads
+    # The first real epoch yields the same first batch the peek saw.
+    first_real = next(iter(loader))
+    assert first_real['texts'] == peeked['texts']

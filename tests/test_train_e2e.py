@@ -207,3 +207,34 @@ def test_jasper_cli_end_to_end(tmp_path):
     assert rc == 0
     result = json_mod.loads(buf.getvalue().strip().splitlines()[-1])
     assert 'wer' in result and result['loss'] is not None
+
+
+def test_resume_respects_epoch_budget(tmp_path):
+    """A resumed run must finish the ORIGINAL max_epochs budget, not train
+    max_epochs more: epoch is derived from the restored step."""
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    import train as train_cli
+
+    manifest = _make_corpus(tmp_path, n=2, seed=4)
+    run_dir = tmp_path / 'resume_run'
+    base = [
+        f'data.train_manifest={manifest}', f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model.input_size=32',
+        'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: 0.1}]',
+        'trainer.string_metrics_interval=0', 'trainer.mesh.data=2',
+        f'trainer.default_root_dir={run_dir}',
+    ]
+    assert train_cli.main(base + ['trainer.max_epochs=2']) == 0
+    ck = Checkpointer(f'{run_dir}/checkpoints')
+    step_after = ck.latest_step()
+    assert step_after == 2  # 1 batch/epoch x 2 epochs
+
+    # Resume with the SAME budget: nothing left to train.
+    assert train_cli.main(base + ['trainer.max_epochs=2', '--resume']) == 0
+    assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 2
+
+    # Raise the budget by one epoch: exactly one more epoch runs.
+    assert train_cli.main(base + ['trainer.max_epochs=3', '--resume']) == 0
+    assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 3

@@ -86,9 +86,13 @@ def build_augment_fn(augment_cfg):
         if name not in _AUGMENTATIONS:
             raise ValueError(f'Unknown augmentation {name!r}; options: '
                              f'{sorted(_AUGMENTATIONS)}')
-        if kwargs is False or kwargs is None:
+        if kwargs is False:
+            continue  # explicitly disabled in config
+        if kwargs is None or kwargs is True:
             kwargs = {}
         steps.append((_AUGMENTATIONS[name], dict(kwargs)))
+    if not steps:
+        return None  # every configured augmentation was disabled
 
     def apply(rng, feats):
         for i, (fn, kwargs) in enumerate(steps):

@@ -213,6 +213,17 @@ class BucketBatchLoader:
                     target_lengths=target_lengths, batch_mask=batch_mask,
                     texts=texts, paths=paths)
 
+    def peek_batch(self):
+        """First batch of the upcoming epoch's order, WITHOUT consuming the
+        epoch counter or starting a prefetch thread. Used to initialize model
+        state before training: a plain ``for batch in loader: break`` would
+        bump ``epoch`` (shifting every subsequent shuffle order off by one)
+        and leak a prefetch worker blocked on its queue.
+        """
+        for b, idxs in self._batch_indices(self.epoch):
+            return self._make_batch(b, idxs)
+        return None
+
     def __iter__(self):
         epoch = self.epoch
         self.epoch += 1

@@ -20,9 +20,15 @@ class Checkpointer:
     # (Lightning-style best-k).
     def __init__(self, directory: str, keep_last: int = 3,
                  monitor: str | None = None, mode: str = 'min'):
+        # A save that lacks the monitored metric must never rank: the worst
+        # possible score (not 0.0, which under mode='min' would beat every
+        # real val_loss and evict the genuinely-best checkpoints) — and
+        # save() additionally registers no metrics at all for such saves, so
+        # orbax treats them as metric-less (kept outside best-k ranking).
+        sentinel = float('inf') if mode == 'min' else float('-inf')
         options = ocp.CheckpointManagerOptions(
             max_to_keep=keep_last, create=True,
-            best_fn=(lambda m: m.get(monitor, 0.0)) if monitor else None,
+            best_fn=(lambda m: m.get(monitor, sentinel)) if monitor else None,
             best_mode=mode if monitor else 'max')
         self._monitor = monitor
         self._mgr = ocp.CheckpointManager(os.path.abspath(directory),
@@ -30,9 +36,8 @@ class Checkpointer:
 
     def save(self, step: int, state, metrics: dict | None = None) -> None:
         kwargs = {}
-        if self._monitor:
-            kwargs['metrics'] = {k: float(v)
-                                 for k, v in (metrics or {}).items()}
+        if self._monitor and metrics and self._monitor in metrics:
+            kwargs['metrics'] = {k: float(v) for k, v in metrics.items()}
         self._mgr.save(step, args=ocp.args.StandardSave(state), **kwargs)
         self._mgr.wait_until_finished()
 

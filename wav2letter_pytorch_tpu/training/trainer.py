@@ -225,21 +225,39 @@ class Trainer:
             os.makedirs(self.run_dir, exist_ok=True)
             with open(os.path.join(self.run_dir, 'config.yaml'), 'w') as f:
                 f.write(self.cfg.pretty())
-        first = None
-        for batch in train_loader:
-            first = batch
-            break
-        if first is None:
-            raise ValueError('empty training loader')
         if self.state is None:
+            # peek_batch builds the init example from loader metadata
+            # without bumping the epoch counter or leaking a prefetch
+            # thread (a bare `for batch in loader: break` does both).
+            peek = getattr(train_loader, 'peek_batch', None)
+            first = peek() if peek is not None else next(
+                iter(train_loader), None)
+            if first is None:
+                raise ValueError('empty training loader')
             self.init_state(first)
+        start_epoch = 0
         if resume and self._ckpt.latest_step() is not None:
             self.state = self._ckpt.restore(self.state)
             print(f'Resumed from step {int(self.state.step)}')
+            # Derive the epoch from the restored step so a resumed run
+            # finishes the ORIGINAL max_epochs budget (and replays the
+            # correct per-epoch shuffle orders) instead of training
+            # max_epochs more from wherever it stopped.
+            try:
+                steps_per_epoch = len(train_loader)
+            except TypeError:
+                steps_per_epoch = 0
+            if steps_per_epoch:
+                start_epoch = int(self.state.step) // steps_per_epoch
+            if hasattr(train_loader, 'epoch'):
+                train_loader.epoch = start_epoch
 
         train_step = self._get_jitted('train')
         step = int(self.state.step)
-        t0 = time.time()
+        # Throughput bookkeeping starts after the first executed step so
+        # `utterances_per_sec` reflects steady state, not XLA compile time
+        # (bench.py methodology).
+        t0 = None
         utts = 0
         from ..utils.runtime import profiler_trace
         profile_scope = profiler_trace(self.profile_dir)
@@ -279,14 +297,21 @@ class Trainer:
                     batch_mask=m_mask,
                     print_decoded_prob=self.print_decoded_prob))
 
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             for batch, device_batch in _with_device_batches(train_loader):
                 if self.max_steps is not None and step >= int(self.max_steps):
                     break
                 self.state, loss, out, out_lens = train_step(self.state,
                                                              device_batch)
                 step += 1
-                utts += int(batch['batch_mask'].sum())
+                if t0 is None:
+                    # First step just compiled; start the clock after a
+                    # scalar fetch (block_until_ready does not block through
+                    # the device tunnel) so the logged rate is steady-state.
+                    float(loss)
+                    t0 = time.time()
+                else:
+                    utts += int(batch['batch_mask'].sum())
                 _flush_metrics()
                 logs = {}
                 if step % self.log_every == 0 or step == 1:
@@ -299,8 +324,9 @@ class Trainer:
                             f'{loss_value}')
                     logs['train_loss'] = loss_value
                     logs['learning_rate'] = float(self.schedule(step - 1))
-                    dt = time.time() - t0
-                    logs['utterances_per_sec'] = utts / max(dt, 1e-9)
+                    if utts:
+                        logs['utterances_per_sec'] = (
+                            utts / max(time.time() - t0, 1e-9))
                 if self.metrics_interval and step % self.metrics_interval == 0:
                     pending_metrics.append((step, out, out_lens,
                                             batch['texts'],
