@@ -88,3 +88,32 @@ def test_pretty_print():
     cfg = _load(complete=True)
     text = cfg.pretty()
     assert 'train_manifest: train.csv' in text
+
+
+def test_embedded_interpolation():
+    """Hydra-style embedded interpolation: "prefix-${a.b}" substitutes the
+    stringified target (used to silently pass through as a literal)."""
+    from wav2letter_pytorch_tpu.config import load_config
+    cfg = load_config(['data.train_manifest=x', 'data.val_manifest=y',
+                       '+trainer.run_name=w2l-${model.input_size}-deep'])
+    assert cfg.trainer.run_name == f'w2l-{cfg.model.input_size}-deep'
+
+
+def test_embedded_interpolation_unknown_path_errors():
+    import pytest
+    from wav2letter_pytorch_tpu.config import load_config
+    with pytest.raises(KeyError, match='no.such'):
+        load_config(['data.train_manifest=x', 'data.val_manifest=y',
+                     '+trainer.run_name=a-${no.such.key}'])
+
+
+def test_malformed_layer_spec_diagnostic():
+    """`{output_size:24}` (no space) must fail with a config-level message,
+    not an opaque KeyError inside flax."""
+    import pytest
+    from wav2letter_pytorch_tpu.config import load_config
+    from wav2letter_pytorch_tpu.training import build_model
+    cfg = load_config(['data.train_manifest=x', 'data.val_manifest=y',
+                       'model.layers=[{output_size:24, kernel_size:7}]'])
+    with pytest.raises(ValueError, match='space after each colon'):
+        build_model(cfg.model, num_labels=29)

@@ -25,6 +25,7 @@ import yaml
 
 MISSING = '???'
 _INTERP_RE = re.compile(r'^\$\{([^}]+)\}$')
+_INTERP_ANY_RE = re.compile(r'\$\{([^}]+)\}')
 
 
 class ConfigNode(dict):
@@ -127,20 +128,27 @@ def _get_path(cfg: dict, dotted: str):
 
 
 def _resolve_interpolations(cfg: dict):
-    """Resolve ${a.b} references (full-value references, possibly chained)."""
+    """Resolve ${a.b} references: full-value references keep the target's
+    type (possibly chained); embedded references ("prefix-${a.b}") are
+    string-substituted, Hydra-style."""
+
+    def lookup(path, seen):
+        if path in seen:
+            raise ValueError(f'Interpolation cycle at ${{{path}}}')
+        try:
+            target = _get_path(cfg, path)
+        except KeyError:
+            raise KeyError(f'Interpolation ${{{path}}} not found')
+        return resolve(target, seen | {path})
 
     def resolve(value, seen):
         if isinstance(value, str):
             m = _INTERP_RE.match(value)
             if m:
-                path = m.group(1)
-                if path in seen:
-                    raise ValueError(f'Interpolation cycle at ${{{path}}}')
-                try:
-                    target = _get_path(cfg, path)
-                except KeyError:
-                    raise KeyError(f'Interpolation ${{{path}}} not found')
-                return resolve(target, seen | {path})
+                return lookup(m.group(1), seen)
+            if '${' in value:
+                return _INTERP_ANY_RE.sub(
+                    lambda mm: str(lookup(mm.group(1), seen)), value)
         return value
 
     def walk(node):

@@ -19,6 +19,21 @@ def build_labels(model_cfg) -> list[str]:
     return resolve_labels(model_cfg['labels'])
 
 
+def _check_layer_specs(layers, required, what):
+    """Fail with a config-level message when a layer spec is malformed —
+    e.g. a CLI override written `{output_size:24}` (no space after the
+    colon) YAML-parses as the single scalar key 'output_size:24' and would
+    otherwise surface as an opaque KeyError deep inside flax."""
+    for i, layer in enumerate(layers):
+        missing = [k for k in required if k not in layer]
+        if missing:
+            raise ValueError(
+                f'{what}[{i}] is missing key(s) {missing}; got keys '
+                f'{sorted(layer)}. If this came from a CLI override, note '
+                'YAML flow maps need a space after each colon: '
+                '{output_size: 24, kernel_size: 7, ...}')
+
+
 def build_model(model_cfg, num_labels: int):
     name = model_cfg['name']
     mid_layers = int(model_cfg.get('mid_layers', 1))
@@ -28,11 +43,17 @@ def build_model(model_cfg, num_labels: int):
         dtype = jnp.bfloat16
     init_mode = model_cfg.get('init_mode', 'xavier_uniform')
     if name == 'wav2letter':
+        _check_layer_specs(model_cfg['layers'],
+                           ('output_size', 'kernel_size', 'stride'),
+                           'model.layers')
         return Wav2Letter(layers=[dict(l) for l in model_cfg['layers']],
                           num_labels=num_labels, mid_layers=mid_layers,
                           dtype=dtype, init_mode=init_mode,
                           padding_mode=model_cfg.get('padding_mode', 'reflect'))
     if name == 'jasper':
+        _check_layer_specs(model_cfg['jasper_blocks'],
+                           ('layer_size', 'kernel_size'),
+                           'model.jasper_blocks')
         return Jasper(jasper_blocks=[dict(b) for b in model_cfg['jasper_blocks']],
                       num_labels=num_labels, mid_layers=mid_layers,
                       dtype=dtype, init_mode=init_mode)
