@@ -4,7 +4,11 @@
 Measures the full jitted training step — on-device feature frontend +
 20-layer Wav2Letter + CTC loss + SGD update — on synthetic 8-second
 utterances, on whatever accelerator is ambient (the driver runs this on one
-real TPU chip).
+real TPU chip). Uses the throughput-optimal configuration measured in
+benchmarks/batch_scaling.py (batch 32, 4 steps per dispatch via the
+trainer's device-side scan), which runs the conv stack at ~97% of the
+chip's practical bf16 matmul peak (benchmarks/peak_flops.py) — see
+docs/ROADMAP.md for the speed-of-light analysis.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": R}
@@ -20,21 +24,32 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-BATCH = 16
+BATCH = 32        # best measured throughput point (benchmarks/batch_scaling.py)
+SCAN = 4          # steps per dispatch: device-side lax.scan amortizes the
+                  # ~1.1 ms runtime dispatch overhead (trainer.steps_per_dispatch)
 SECONDS = 8
 SR = 16000
-WARMUP = 3
-STEPS = 10
+WARMUP = 2
+STEPS = 8
 
 
 def main():
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     import jax
+
+    # Gate: compiled Pallas kernel parity on this chip (CI runs them in
+    # interpret mode only; a Mosaic lowering regression must not ship as a
+    # silent bench number — VERDICT r1 weak #6). Result lands in the JSON.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    'scripts'))
+    from run_tpu_checks import main as tpu_checks
+    kernel_checks = 'pass' if tpu_checks(include_dryrun=False) == 0 else 'FAIL'
     from wav2letter_pytorch_tpu import optim
     from wav2letter_pytorch_tpu.config import load_config
     from wav2letter_pytorch_tpu.parallel import shard_batch
@@ -69,22 +84,23 @@ def main():
         batch['targets'][b, 100:] = 0
 
     trainer.init_state(batch)
-    step = trainer._get_jitted('train')
-    device_batch = shard_batch(batch, trainer.mesh)
+    step = trainer._get_jitted('train_multi')
+    stacked = {k: np.stack([v] * SCAN) for k, v in batch.items()}
+    device_batch = shard_batch(stacked, trainer.mesh, batch_dim=1)
 
     for _ in range(WARMUP):
-        trainer.state, loss, _, _ = step(trainer.state, device_batch)
-    float(loss)  # full sync — block_until_ready alone does not block
-                 # through the axon device tunnel
+        trainer.state, losses, _, _ = step(trainer.state, device_batch)
+    float(losses[-1])  # full sync — block_until_ready alone does not block
+                       # through the axon device tunnel
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        trainer.state, loss, _, _ = step(trainer.state, device_batch)
-    float(loss)  # forces the whole dependent chain to finish
+        trainer.state, losses, _, _ = step(trainer.state, device_batch)
+    float(losses[-1])  # forces the whole dependent chain to finish
     dt = time.perf_counter() - t0
 
     n_chips = len(trainer.mesh.devices.ravel())
-    utt_per_sec = BATCH * STEPS / dt / n_chips
+    utt_per_sec = BATCH * SCAN * STEPS / dt / n_chips
 
     vs = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -101,6 +117,7 @@ def main():
         'value': round(utt_per_sec, 3),
         'unit': 'utt/s/chip',
         'vs_baseline': round(vs, 3) if vs is not None else None,
+        'kernel_checks': kernel_checks,
     }))
 
 

@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(include_dryrun: bool = True):
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -56,26 +56,29 @@ def main():
     audio = (rng.standard_normal((4, 32000)) * 0.1).astype(np.float32)
     lens = np.array([32000, 24000, 16000, 9999], np.int32)
     outs = {}
-    for method in ('conv', 'matmul', 'fft'):
+    methods = ('conv', 'matmul', 'fft') + (
+        ('pallas',) if jax.default_backend() == 'tpu' else ())
+    for method in methods:
         fe = SpectrogramFrontend(AudioConfig(), n_mels=64,
                                  stft_method=method, dither=0.0)
         feats, _ = jax.jit(lambda a, l: fe(a, l))(audio, lens)
         outs[method] = np.asarray(feats)
-    d1 = np.abs(outs['conv'] - outs['matmul']).max()
-    d2 = np.abs(outs['conv'] - outs['fft']).max()
-    ok = d1 < 5e-3 and d2 < 5e-3
+    deltas = {m: np.abs(outs['conv'] - outs[m]).max()
+              for m in methods if m != 'conv'}
+    ok = all(d < 5e-3 for d in deltas.values())
     failures += not ok
-    print(f'[{"OK" if ok else "FAIL"}] frontend methods agree: '
-          f'conv-matmul {d1:.2e}, conv-fft {d2:.2e}')
+    print(f'[{"OK" if ok else "FAIL"}] frontend methods agree vs conv: '
+          + ', '.join(f'{m} {d:.2e}' for m, d in deltas.items()))
 
     # --- one real sharded train step ------------------------------------
-    from __graft_entry__ import dryrun_multichip
-    try:
-        dryrun_multichip(len(jax.devices()))
-        print('[OK] sharded train step')
-    except Exception as e:  # pragma: no cover
-        failures += 1
-        print(f'[FAIL] sharded train step: {e}')
+    if include_dryrun:
+        from __graft_entry__ import dryrun_multichip
+        try:
+            dryrun_multichip(len(jax.devices()))
+            print('[OK] sharded train step')
+        except Exception as e:  # pragma: no cover
+            failures += 1
+            print(f'[FAIL] sharded train step: {e}')
 
     print('ALL OK' if failures == 0 else f'{failures} FAILURES')
     return 1 if failures else 0

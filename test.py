@@ -58,6 +58,13 @@ def main(argv=None):
     parser.add_argument('--beam-search-params', default='',
                         help='e.g. k=16,alpha=0.5,beta=5,prune=1e-3 '
                              '(implies beam search even without --lm-path)')
+    parser.add_argument('--beam-backend', default='host',
+                        choices=['host', 'device'],
+                        help="'host': serial per-utterance search (exact "
+                             "in-loop LM fusion; C++/Python). 'device': "
+                             "batched on-accelerator search (decoding/"
+                             "beam_device.py); with --lm-path the n-best "
+                             "list is LM-rescored on host")
     parser.add_argument('overrides', nargs='*', default=[])
     args = parser.parse_args(argv)
 
@@ -97,7 +104,11 @@ def main(argv=None):
     optimizer, schedule = build_optimizer(cfg.model, 1, 1)
 
     beam_params = parse_beam_params(args.beam_search_params)
-    if args.lm_path or beam_params:
+    if (args.lm_path or beam_params) and args.beam_backend == 'device':
+        from wav2letter_pytorch_tpu.decoding import DeviceBeamDecoder
+        decoder = DeviceBeamDecoder(labels, lm_path=args.lm_path,
+                                    **beam_params)
+    elif args.lm_path or beam_params:
         decoder = PrefixBeamSearchLMDecoder(args.lm_path, labels,
                                             **beam_params)
     else:
@@ -134,14 +145,19 @@ def main(argv=None):
         loss, out, out_lens = eval_step(trainer.state, device_batch)
         losses.append(float(loss))
         out = np.asarray(out)
+        from wav2letter_pytorch_tpu.decoding import DeviceBeamDecoder
+        is_beam = isinstance(decoder, (PrefixBeamSearchLMDecoder,
+                                       DeviceBeamDecoder))
         # Beam search needs probability space; Wav2Letter eval emits log
         # probs (reference wav2letter.py:87 vs jasper.py:473).
-        if isinstance(decoder, PrefixBeamSearchLMDecoder) and \
-                not trainer.eval_emits_probs:
+        if is_beam and not trainer.eval_emits_probs:
             out = np.exp(out)
         sizes = np.asarray(out_lens)
         offsets = None
-        if isinstance(decoder, PrefixBeamSearchLMDecoder):
+        if isinstance(decoder, DeviceBeamDecoder):
+            # one batched on-accelerator search for the whole batch
+            decoded = decoder.decode(out, sizes)
+        elif isinstance(decoder, PrefixBeamSearchLMDecoder):
             decoded = [decoder.decode(out[j][:sizes[j]])
                        for j in range(out.shape[0])]
         elif out.ndim == 2:

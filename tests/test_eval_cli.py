@@ -99,3 +99,15 @@ def test_eval_cli_word_timings(trained_run, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert 'timings  :' in out
+
+
+def test_eval_cli_device_beam(trained_run, capsys):
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--beam-backend', 'device',
+                        '--beam-search-params', 'k=4,beta=2,prune=1e-3'])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 'wer' in result and result['num_utterances'] == 6

@@ -238,3 +238,40 @@ def test_resume_respects_epoch_budget(tmp_path):
     # Raise the budget by one epoch: exactly one more epoch runs.
     assert train_cli.main(base + ['trainer.max_epochs=3', '--resume']) == 0
     assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 3
+
+
+def test_steps_per_dispatch_equivalence(tmp_path):
+    """trainer.steps_per_dispatch=2 (device-side lax.scan over step-stacked
+    batches) must produce EXACTLY the same training as single-step dispatch:
+    the per-step RNG folds in state.step, so grouping is invisible."""
+    import jax
+    import train as train_cli
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+
+    manifest = _make_corpus(tmp_path, n=6, seed=2)
+    params = {}
+    for n_sd in (1, 2, 3):  # 3 exercises the remainder path (6/2 batches? ->
+        # 3 batches/epoch with batch_size=2: n_sd=2 leaves a remainder of 1)
+        run_dir = tmp_path / f'run_sd{n_sd}'
+        rc = train_cli.main([
+            f'data.train_manifest={manifest}', f'data.val_manifest={manifest}',
+            'data.batch_size=2', 'data.num_length_buckets=1',
+            'model.input_size=32',
+            'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+            'dilation: 1, dropout: 0.1}]',
+            'trainer.max_epochs=2', 'trainer.string_metrics_interval=1',
+            'trainer.log_every_n_steps=1',
+            'trainer.mesh.data=2', f'trainer.steps_per_dispatch={n_sd}',
+            f'trainer.default_root_dir={run_dir}',
+        ])
+        assert rc == 0
+        ck = Checkpointer(f'{run_dir}/checkpoints')
+        assert ck.latest_step() == 6  # 3 batches x 2 epochs, regardless of n_sd
+        state = ck.restore(None)
+        params[n_sd] = state['params']
+        ck.close()
+    for n_sd in (2, 3):
+        for a, b in zip(jax.tree.leaves(params[1]),
+                        jax.tree.leaves(params[n_sd])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)

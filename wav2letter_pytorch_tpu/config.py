@@ -234,13 +234,16 @@ def load_config(overrides: list[str] | None = None,
 
 def _registry():
     # Local imports dodge circular imports at module load.
-    from .decoding import GreedyDecoder, PrefixBeamSearchLMDecoder
+    from .decoding import (DeviceBeamDecoder, GreedyDecoder,
+                           PrefixBeamSearchLMDecoder)
     from . import optim
     return {
         # our names
         'wav2letter_pytorch_tpu.decoding.GreedyDecoder': GreedyDecoder,
         'wav2letter_pytorch_tpu.decoding.PrefixBeamSearchLMDecoder':
             PrefixBeamSearchLMDecoder,
+        'wav2letter_pytorch_tpu.decoding.DeviceBeamDecoder':
+            DeviceBeamDecoder,
         'wav2letter_pytorch_tpu.optim.novograd': optim.novograd,
         'wav2letter_pytorch_tpu.optim.sgd': optim.sgd,
         # reference-style names (decoder.py / torch.optim), so configs

@@ -1,5 +1,7 @@
+from .beam_device import DeviceBeamDecoder, beam_search_device
 from .decoder import (Decoder, GreedyDecoder, PrefixBeamSearchLMDecoder,
                       get_time_per_word, prefix_beam_search)
 
-__all__ = ['Decoder', 'GreedyDecoder', 'PrefixBeamSearchLMDecoder',
+__all__ = ['Decoder', 'DeviceBeamDecoder', 'GreedyDecoder',
+           'PrefixBeamSearchLMDecoder', 'beam_search_device',
            'get_time_per_word', 'prefix_beam_search']

@@ -1,0 +1,314 @@
+"""On-device (TPU) vectorized CTC prefix beam search.
+
+The reference's beam search (/root/reference/decoder.py:147-233, replicated
+host-side in decoder.prefix_beam_search) is a string-keyed DP — inherently
+serial per utterance. This module runs the SAME dynamic program as a batched
+jit program: beam state lives in fixed-shape tensors, prefix identity is a
+pair of 32-bit rolling hashes, and the decoded strings are reconstructed on
+host from per-step backpointers (FlexCTC-style; see PAPERS.md). All of the
+reference's probability bookkeeping is preserved exactly, in log space:
+
+* per-prefix blank/non-blank mass split (``p_b`` / ``p_nb``);
+* per-step candidate pruning (``step[c] > prune``, including the blank);
+* repeat-character split (extend from blank-paths only; same-char
+  continuation stays on the shorter prefix);
+* the "discarded prefixes" re-merge — an extension that is not in the
+  current beam list recovers the mass its prefix still holds in the
+  PREVIOUS step's candidate pool (reference decoder.py:233-237), so the
+  pool (k·V slots), not just the k beams, is carried between steps;
+* word-count length bonus ``(num_words + 1) ** beta`` in beam ranking,
+  where a word "counts" once completed by a separator (_WORD_RE semantics).
+
+LM fusion is host-side only: the in-loop ``lm(prefix)**alpha`` weighting
+needs per-prefix string lookups, which is exactly the host-bound pattern
+this kernel removes. Use the n-best output with host LM rescoring, or the
+C++/Python searches (decoder.PrefixBeamSearchLMDecoder) for exact in-loop
+fusion.
+
+Scan carry is O(k·V) scalars per sample (hashes, masses, word counts) —
+no prefix arrays on device; per-step outputs are (parent, char)
+backpointers, walked backwards on host to materialize the top string.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+# Two independent multiplicative rolling hashes; matches are additionally
+# gated on liveness, and both 32-bit hashes must agree, so the collision
+# probability over a search is ~(pairs compared) / 2^64 — negligible.
+_H1_MULT = np.uint32(0x9E3779B1)
+_H2_MULT = np.uint32(0x85EBCA77)
+
+
+def _log(x):
+    return float(np.log(x)) if x > 0 else -np.inf
+
+
+@partial(jax.jit, static_argnames=('k', 'blank', 'beta', 'log_prune',
+                                   'sep_mask', 'word_mask'))
+def _search(lp, lengths, *, k, blank, beta, log_prune, sep_mask, word_mask):
+    """lp: [B, T, V] log-probabilities. Returns per-sample backpointer
+    tables + final pool state for host-side backtrace.
+
+    sep_mask / word_mask: tuples of 0/1 per label — which labels complete a
+    word (separator after a word character) and which are word characters
+    (regex \\w of the reference's _WORD_RE).
+    """
+    B, T, V = lp.shape
+    sep = jnp.asarray(sep_mask, jnp.bool_)
+    word = jnp.asarray(word_mask, jnp.bool_)
+    cs = jnp.arange(1, V) if blank == 0 else jnp.asarray(
+        [c for c in range(V) if c != blank])
+    P = k * V  # k keep slots + k*(V-1) extension slots
+
+    # Steps past a sample's length must be identity on the beam state: a
+    # deterministic blank (log-prob 0) only moves p_nb mass into p_b,
+    # leaving every prefix's total and the ranking unchanged.
+    blank_row = jnp.full((V,), NEG_INF).at[blank].set(0.0)
+    t_ix = jnp.arange(T)
+    lp = jnp.where((t_ix[None, :, None] < lengths[:, None, None]),
+                   lp, blank_row[None, None, :])
+
+    def single(lp_s):
+        def init():
+            pb = jnp.full((P,), NEG_INF).at[0].set(0.0)  # '' with p_b = 1
+            pnb = jnp.full((P,), NEG_INF)
+            h1 = jnp.zeros((P,), jnp.uint32).at[0].set(np.uint32(1))
+            h2 = jnp.zeros((P,), jnp.uint32).at[0].set(np.uint32(1))
+            wc = jnp.zeros((P,), jnp.int32)
+            lastc = jnp.full((P,), -1, jnp.int32)
+            alive = jnp.zeros((P,), bool).at[0].set(True)
+            return pb, pnb, h1, h2, wc, lastc, alive
+
+        def step(carry, lp_t):
+            pb, pnb, h1, h2, wc, lastc, alive = carry
+            score = jnp.logaddexp(pb, pnb)
+            rank = jnp.where(alive,
+                             score + beta * jnp.log(wc.astype(jnp.float32)
+                                                    + 1.0),
+                             NEG_INF)
+            _, bidx = jax.lax.top_k(rank, k)
+            bpb, bpnb = pb[bidx], pnb[bidx]
+            bh1, bh2 = h1[bidx], h2[bidx]
+            bwc, blast = wc[bidx], lastc[bidx]
+            balive = alive[bidx]
+            prev_total = jnp.logaddexp(bpb, bpnb)
+
+            lpb = lp_t[blank]
+            blank_ok = lpb > log_prune
+
+            # ---- keep slots: the beam's own prefix at step t -----------
+            keep_pb = jnp.where(balive & blank_ok, lpb + prev_total, NEG_INF)
+            rep_lp = lp_t[jnp.clip(blast, 0)]
+            rep_ok = balive & (blast >= 0) & (rep_lp > log_prune)
+            keep_pnb = jnp.where(rep_ok, rep_lp + bpnb, NEG_INF)
+
+            # ---- extension slots: beam i extended with char c ----------
+            lc = lp_t[cs]                                     # [V-1]
+            active = lc > log_prune
+            is_rep = cs[None, :] == blast[:, None]            # [k, V-1]
+            base = jnp.where(is_rep, bpb[:, None],
+                             prev_total[:, None]) + lc[None, :]
+            ext_alive = balive[:, None] & active[None, :]
+            contrib = jnp.where(ext_alive, base, NEG_INF)
+            eh1 = bh1[:, None] * _H1_MULT + (cs[None, :] + 1).astype(
+                jnp.uint32)
+            eh2 = bh2[:, None] * _H2_MULT + (cs[None, :] + 1).astype(
+                jnp.uint32)
+
+            # extension == an existing beam? (reference: `extended in
+            # beams`) -> its mass goes to that beam's keep slot instead.
+            m_keep = ((eh1[:, :, None] == bh1[None, None, :]) &
+                      (eh2[:, :, None] == bh2[None, None, :]) &
+                      balive[None, None, :] & ext_alive[:, :, None])
+            in_beams = m_keep.any(-1)
+            inc = jax.nn.logsumexp(
+                jnp.where(m_keep, contrib[:, :, None], NEG_INF), axis=(0, 1))
+            keep_pnb = jnp.logaddexp(keep_pnb, inc)
+
+            # re-merge vs the full previous pool (discarded prefixes).
+            m_pool = ((eh1[:, :, None] == h1[None, None, :]) &
+                      (eh2[:, :, None] == h2[None, None, :]) &
+                      alive[None, None, :] & ext_alive[:, :, None] &
+                      ~in_beams[:, :, None])
+            prev_pb_m = jax.nn.logsumexp(
+                jnp.where(m_pool, pb[None, None, :], NEG_INF), axis=-1)
+            prev_pnb_m = jax.nn.logsumexp(
+                jnp.where(m_pool, pnb[None, None, :], NEG_INF), axis=-1)
+            dead_ext = in_beams | ~ext_alive
+            ext_pb = jnp.where(dead_ext, NEG_INF,
+                               lpb + jnp.logaddexp(prev_pb_m, prev_pnb_m))
+            ext_pnb = jnp.where(dead_ext, NEG_INF,
+                                jnp.logaddexp(contrib,
+                                              lc[None, :] + prev_pnb_m))
+
+            # word bookkeeping: a separator right after a word char
+            # completes a word (reference _WORD_RE = \w+[\s|>]).
+            last_is_word = (blast >= 0) & word[jnp.clip(blast, 0)]
+            ext_wc = bwc[:, None] + (sep[cs][None, :] &
+                                     last_is_word[:, None]).astype(jnp.int32)
+            ext_lastc = jnp.broadcast_to(cs[None, :], (k, V - 1))
+
+            flat = lambda a: a.reshape(k * (V - 1))
+            new = (
+                jnp.concatenate([keep_pb, flat(ext_pb)]),
+                jnp.concatenate([keep_pnb, flat(ext_pnb)]),
+                jnp.concatenate([bh1, flat(eh1)]),
+                jnp.concatenate([bh2, flat(eh2)]),
+                jnp.concatenate([bwc, flat(ext_wc)]),
+                jnp.concatenate([blast, flat(ext_lastc)]),
+                jnp.concatenate([balive, flat(~dead_ext)]),
+            )
+            parent = jnp.concatenate(
+                [bidx, jnp.repeat(bidx, V - 1)]).astype(jnp.int32)
+            char = jnp.concatenate(
+                [jnp.full((k,), -1, jnp.int32),
+                 flat(jnp.broadcast_to(cs[None, :], (k, V - 1))).astype(
+                     jnp.int32)])
+            return new, (parent, char)
+
+        carry, (parents, chars) = jax.lax.scan(step, init(), lp_s)
+        pb, pnb, h1, h2, wc, lastc, alive = carry
+        score = jnp.logaddexp(pb, pnb)
+        rank = jnp.where(alive,
+                         score + beta * jnp.log(wc.astype(jnp.float32) + 1.0),
+                         NEG_INF)
+        _, top_idx = jax.lax.top_k(rank, k)
+        return parents, chars, top_idx, rank[top_idx], score[top_idx]
+
+    return jax.vmap(single)(lp)
+
+
+def _backtrace(parents, chars, slot):
+    """Walk (parent, char) tables backwards from ``slot`` at the last step."""
+    out = []
+    s = int(slot)
+    for t in range(parents.shape[0] - 1, -1, -1):
+        c = int(chars[t, s])
+        if c >= 0:
+            out.append(c)
+        s = int(parents[t, s])
+    out.reverse()
+    return out
+
+
+def beam_search_device(log_probs, lengths, labels, k: int = 5,
+                       beta: float = 5.0, prune: float = 1e-3,
+                       blank_index: int = 0, n_best: int = 1):
+    """Batched CTC prefix beam search on the accelerator.
+
+    Args:
+        log_probs: [B, T, V] log-probabilities (natural log).
+        lengths: [B] valid frame counts.
+        labels: label list aligned with V (blank at ``blank_index``).
+        n_best: how many hypotheses to materialize per sample.
+    Returns:
+        list (len B) of lists of (ids, log_score, log_rank) tuples, best
+        first; ``ids`` is the decoded label-id sequence.
+    """
+    labels = list(labels)
+    if '>' in labels:
+        raise ValueError("device beam search does not support an end_char "
+                         "('>') label; use the host search")
+    sep_mask = tuple(int(ch in ' |>') for ch in labels)
+    word_mask = tuple(int(ch.isalnum() or ch == '_') for ch in labels)
+    lp = jnp.asarray(log_probs, jnp.float32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    parents, chars, top_idx, ranks, scores = _search(
+        lp, lengths, k=int(k), blank=int(blank_index), beta=float(beta),
+        log_prune=_log(prune), sep_mask=sep_mask, word_mask=word_mask)
+    parents = np.asarray(parents)
+    chars = np.asarray(chars)
+    top_idx = np.asarray(top_idx)
+    ranks = np.asarray(ranks)
+    scores = np.asarray(scores)
+    results = []
+    for b in range(lp.shape[0]):
+        hyps = []
+        for j in range(min(n_best, top_idx.shape[1])):
+            ids = _backtrace(parents[b], chars[b], top_idx[b, j])
+            hyps.append((ids, float(scores[b, j]), float(ranks[b, j])))
+        results.append(hyps)
+    return results
+
+
+class DeviceBeamDecoder:
+    """Decoder-API wrapper over the on-device batched beam search.
+
+    Drop-in alternative to PrefixBeamSearchLMDecoder for eval on
+    accelerator-resident batches: the whole batch is searched in one jit
+    program instead of one serial host search per utterance. With an LM,
+    the device search runs LM-free and the n-best list is rescored on host
+    (``rank + alpha*ln(10)*lm.score(text)``) — an approximation of the
+    reference's in-loop word-boundary fusion (use the host decoders for
+    exact LM-in-the-loop search).
+    """
+
+    def __init__(self, labels, blank_index: int = 0, k: int = 5,
+                 alpha: float = 0.3, beta: float = 5.0, prune: float = 1e-3,
+                 lm_path: str = '', n_best: int = 8):
+        from .decoder import Decoder
+        self._base = Decoder(list(labels), blank_index)
+        self.labels = self._base.labels
+        self.blank_index = blank_index
+        self.k, self.alpha, self.beta, self.prune = k, alpha, beta, prune
+        self.n_best = n_best
+        self._lm = None
+        if lm_path:
+            from .arpa_lm import load_lm
+            self._lm = load_lm(lm_path)
+
+    # WER/CER surface (delegate to the shared Decoder math)
+    def wer(self, *a, **k):
+        return self._base.wer(*a, **k)
+
+    def cer(self, *a, **k):
+        return self._base.cer(*a, **k)
+
+    def wer_ratio(self, *a, **k):
+        return self._base.wer_ratio(*a, **k)
+
+    def cer_ratio(self, *a, **k):
+        return self._base.cer_ratio(*a, **k)
+
+    def decode(self, probs, sizes=None, return_offsets: bool = False):
+        """probs: [B, T, V] or [T, V] label PROBABILITIES (reference
+        decoder contract). Returns decoded strings (a single string for
+        2-D input)."""
+        if return_offsets:
+            raise NotImplementedError(
+                'Prefix beam search does not support offsets (yet).')
+        probs = np.asarray(probs)
+        squeeze = probs.ndim == 2
+        if squeeze:
+            probs = probs[None]
+        B, T, _ = probs.shape
+        sizes = np.full((B,), T, np.int32) if sizes is None \
+            else np.asarray(sizes, np.int32)
+        lp = np.log(np.clip(probs, 1e-30, None))
+        n_best = self.n_best if self._lm is not None else 1
+        results = beam_search_device(lp, sizes, self.labels, k=self.k,
+                                     beta=self.beta, prune=self.prune,
+                                     blank_index=self.blank_index,
+                                     n_best=n_best)
+        out = []
+        for hyps in results:
+            if self._lm is None:
+                best = hyps[0][0]
+            else:
+                ln10 = float(np.log(10.0))
+
+                def rescored(h):
+                    ids, _, log_rank = h
+                    text = ''.join(self.labels[i] for i in ids).strip()
+                    return log_rank + self.alpha * ln10 * \
+                        self._lm.score(text)
+                best = max(hyps, key=rescored)[0]
+            out.append(''.join(self.labels[i] for i in best))
+        return out[0] if squeeze else out

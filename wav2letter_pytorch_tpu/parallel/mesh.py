@@ -38,12 +38,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
+def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data',
+                batch_dim: int = 0) -> dict:
     """Device-put array leaves of a host batch with batch-dim sharding.
 
     Non-array entries (texts, paths) pass through untouched on host.
+    ``batch_dim``: which array dimension is the batch (1 for step-stacked
+    ``[N_steps, B, ...]`` groups used by ``trainer.steps_per_dispatch``).
     """
-    sharding = batch_sharding(mesh, axis)
+    spec = P(*([None] * batch_dim + [axis]))
+    sharding = NamedSharding(mesh, spec)
     n = mesh.shape[axis]
     multi_host = jax.process_count() > 1
     out = {}
@@ -55,11 +59,12 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
                 # produce disjoint slices via BucketBatchLoader shard_id).
                 out[k] = jax.make_array_from_process_local_data(sharding, v)
                 continue
-            if v.shape[0] % n != 0:
+            if v.shape[batch_dim] % n != 0:
                 raise ValueError(
-                    f'Batch dim of {k!r} ({v.shape[0]}) must be divisible by '
-                    f'the {axis!r} mesh size ({n}); pick a batch_size that is '
-                    'a multiple of the device count (or set trainer.mesh.data)')
+                    f'Batch dim of {k!r} ({v.shape[batch_dim]}) must be '
+                    f'divisible by the {axis!r} mesh size ({n}); pick a '
+                    'batch_size that is a multiple of the device count '
+                    '(or set trainer.mesh.data)')
             out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
