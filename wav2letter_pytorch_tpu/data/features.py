@@ -152,17 +152,28 @@ class SpectrogramFrontend:
 
     def __init__(self, audio_conf: AudioConfig, n_mels: int = 64,
                  stft_method: str = 'conv', dither: float = DITHER,
-                 feature_type: str = 'logmel', n_mfcc: int | None = None):
+                 feature_type: str = 'logmel', n_mfcc: int | None = None,
+                 norm_stats: tuple | None = None):
         """``feature_type``: 'logmel' (reference behavior) or 'mfcc'
         (orthonormal DCT-II over the log-mel bands — the wav2letter paper's
         frontend, which the reference notes it does NOT implement,
-        README.md:74; offered here for completeness)."""
+        README.md:74; offered here for completeness).
+
+        ``norm_stats``: optional ``(mean [n_mels], std [n_mels])`` arrays.
+        When given, normalization uses these fixed statistics instead of the
+        per-utterance masked mean/std — the production/serving choice
+        (corpus-level CMVN), and the mode the streaming path
+        (serving/streaming.py) can reproduce exactly."""
         self.conf = audio_conf
         self.n_mels = n_mels
         self.stft_method = stft_method
         self.dither = dither
         self.feature_type = feature_type
         self.n_mfcc = n_mfcc or n_mels
+        self.norm_stats = None
+        if norm_stats is not None:
+            self.norm_stats = (np.asarray(norm_stats[0], np.float32),
+                               np.asarray(norm_stats[1], np.float32))
         if feature_type == 'mfcc':
             # Orthonormal DCT-II basis [n_mels, n_mfcc].
             k = np.arange(n_mels)[:, None]
@@ -316,6 +327,11 @@ class SpectrogramFrontend:
         flens = self.frame_lengths(sample_lengths)
         mask = (jnp.arange(n_frames)[None, :] < flens[:, None])  # [B, F]
         maskf = mask[:, :, None].astype(feats.dtype)
+        if self.norm_stats is not None:
+            mean, std = self.norm_stats
+            feats = (feats - mean[None, None, :]) / (std[None, None, :]
+                                                     + NORM_EPS)
+            return feats * maskf, flens
         count = jnp.maximum(flens, 1).astype(feats.dtype)[:, None, None]
         mean = jnp.sum(feats * maskf, axis=1, keepdims=True) / count
         var = jnp.sum(jnp.square(feats - mean) * maskf, axis=1,

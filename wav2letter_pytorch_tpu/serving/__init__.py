@@ -1,0 +1,13 @@
+"""Serving / inference runtime: streaming sessions and quantized paths.
+
+The reference has no serving surface (training-only; README.md:46-47 marks
+even offline eval "WIP"). This subpackage is the TPU-native production
+inference layer: chunked stateful streaming with compiled fixed-shape phase
+programs (streaming.py) and BatchNorm-folded fused conv blocks.
+"""
+
+from .streaming import (StreamingSession, StreamingTranscriber,
+                        StreamingWav2Letter, fold_batchnorm)
+
+__all__ = ['StreamingWav2Letter', 'StreamingSession', 'StreamingTranscriber',
+           'fold_batchnorm']
