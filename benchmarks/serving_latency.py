@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Serving latency on the ambient accelerator (run on the real TPU chip).
+
+Measures the inference paths a deployment actually serves:
+
+* offline batch-1, 8 s utterance: the training module (separate BN op),
+  the BN-folded fused forward, and the int8 weight-only forward — batch-1
+  is HBM-bound on the 153 M-param flagship, so folding and int8 target the
+  weight-read bytes;
+* streaming: steady-state per-chunk step latency of a 640 ms-chunk
+  StreamingWav2Letter session (f32 and int8) and the implied real-time
+  factor per stream.
+
+Through the axon tunnel every dispatch carries a fixed ~1-3.6 ms overhead
+(docs/ROADMAP.md); the dispatch floor is measured and reported so on-chip
+time can be read separately. Prints one JSON line and writes
+benchmarks/serving_latency.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SECONDS = 8
+SR = 16000
+REPS = 30
+CHUNK_FRAMES = 64   # 640 ms
+
+
+def _timeit(fn, sync, reps=REPS, warmup=3):
+    for _ in range(warmup):
+        out = fn()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    from wav2letter_pytorch_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_pytorch_tpu.config import load_config
+    from wav2letter_pytorch_tpu.serving import (StreamingWav2Letter,
+                                                fold_batchnorm,
+                                                offline_forward,
+                                                quantize_folded,
+                                                quantized_bytes)
+    from wav2letter_pytorch_tpu.training import (build_frontend,
+                                                 build_labels, build_model)
+
+    cfg = load_config(['data.train_manifest=unused',
+                       'data.val_manifest=unused', 'model.mid_layers=20'])
+    labels = build_labels(cfg.model)
+    model = build_model(cfg.model, num_labels=len(labels))
+    frontend = build_frontend(cfg.model, dither=0.0)
+    layers = [dict(l) for l in cfg.model.layers][:cfg.model.mid_layers]
+
+    rng = np.random.default_rng(0)
+    t_samples = SECONDS * SR
+    audio = (rng.standard_normal((1, t_samples)) * 0.1).astype(np.float32)
+    lengths = np.array([t_samples], np.int32)
+    feats, flens = frontend(audio, lengths)
+    variables = jax.jit(lambda f, l: model.init(jax.random.PRNGKey(0), f, l,
+                                                train=False))(feats, flens)
+    variables = jax.device_get(variables)
+
+    folded = fold_batchnorm(variables, len(layers))
+    folded_q = quantize_folded(folded)
+    f32_bytes = sum(w.nbytes + b.nbytes for w, b in folded)
+
+    # Fixed per-dispatch tunnel/runtime overhead (subtract mentally, not
+    # numerically — reported raw).
+    tiny = jax.jit(lambda x: x + 1.0)
+    dispatch_ms = _timeit(lambda: tiny(jnp.zeros(())), lambda o: float(o),
+                          reps=30) * 1e3
+
+    dfeats = jax.device_put(feats)
+
+    def run_path(name, fold):
+        f = jax.jit(lambda x: offline_forward(layers, fold, x)[0])
+        return _timeit(lambda: f(dfeats), lambda o: float(o[0, 0, 0])) * 1e3
+
+    apply_fn = jax.jit(
+        lambda f, l: model.apply(variables, f, l, train=False)[0])
+    ms_apply = _timeit(lambda: apply_fn(dfeats, jnp.asarray(flens)),
+                       lambda o: float(o[0, 0, 0])) * 1e3
+    ms_folded = run_path('folded', folded)
+    ms_int8 = run_path('int8', folded_q)
+
+    # Streaming steady-state step.
+    stream = {}
+    for mode, w in (('f32', 'f32'), ('int8', 'int8')):
+        sw = StreamingWav2Letter(layers, len(labels), variables, frontend,
+                                 chunk_frames=CHUNK_FRAMES, weights=w)
+        sess = sw.start(1)
+        prime = (rng.standard_normal((1, sw.prime_samples)) * 0.1) \
+            .astype(np.float32)
+        sess.feed(prime)
+        chunk = (rng.standard_normal((1, sw.chunk_samples)) * 0.1) \
+            .astype(np.float32)
+        state = sess._state
+        step = sw._step_fn
+        dchunk = jax.device_put(chunk)
+
+        def one():
+            return step(state, dchunk)
+
+        ms = _timeit(one, lambda o: float(o[1][0, 0, 0])) * 1e3
+        stream[mode] = {
+            'step_ms': round(ms, 3),
+            'chunk_ms_audio': CHUNK_FRAMES * 10,
+            'rtf': round(ms / (CHUNK_FRAMES * 10), 4),
+            'prime_s': round(sw.prime_samples / SR, 2),
+            'lookahead_s': round(sw.lookahead_frames * 0.01, 2),
+        }
+
+    out = {
+        'metric': 'serving_latency_w2l20',
+        'batch1_offline_8s_ms': {
+            'train_module': round(ms_apply, 2),
+            'bn_folded': round(ms_folded, 2),
+            'int8_weight_only': round(ms_int8, 2),
+        },
+        'weight_bytes': {'f32': f32_bytes,
+                         'int8': quantized_bytes(folded_q)},
+        'streaming': stream,
+        'dispatch_floor_ms': round(dispatch_ms, 3),
+        'device': str(jax.devices()[0]),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'serving_latency.json')
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

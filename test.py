@@ -58,6 +58,17 @@ def main(argv=None):
     parser.add_argument('--beam-search-params', default='',
                         help='e.g. k=16,alpha=0.5,beta=5,prune=1e-3 '
                              '(implies beam search even without --lm-path)')
+    parser.add_argument('--streaming', action='store_true',
+                        help='evaluate through the chunked streaming serving '
+                             'path (serving/streaming.py), one session per '
+                             'utterance; utterances shorter than the prime '
+                             'window fall back to the offline path')
+    parser.add_argument('--streaming-chunk-frames', type=int, default=64,
+                        help='streaming chunk size in STFT frames (64 = '
+                             '640 ms at the default 10 ms hop)')
+    parser.add_argument('--int8', action='store_true',
+                        help='weight-only int8 quantized inference '
+                             '(streaming mode only)')
     parser.add_argument('--beam-backend', default='host',
                         choices=['host', 'device'],
                         help="'host': serial per-utterance search (exact "
@@ -135,6 +146,10 @@ def main(argv=None):
         print('WARNING: no checkpoint found; evaluating random init',
               file=sys.stderr)
 
+    if args.streaming:
+        return run_streaming_eval(args, cfg, trainer, model, frontend,
+                                  decoder, labels, ds, beam_params)
+
     eval_step = trainer._get_jitted('eval')
     acc = RatioAccumulator()
     losses = []
@@ -188,6 +203,74 @@ def main(argv=None):
 
     result = {'loss': float(np.mean(losses)) if losses else None,
               'num_utterances': len(ds)}
+    result.update(acc.ratios())
+    print(json.dumps(result))
+    return 0
+
+
+def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
+                       ds, beam_params):
+    """Per-utterance evaluation through the streaming serving path."""
+    import jax
+    from wav2letter_pytorch_tpu.decoding import (DeviceBeamDecoder,
+                                                 PrefixBeamSearchLMDecoder)
+    from wav2letter_pytorch_tpu.serving import StreamingWav2Letter
+    from wav2letter_pytorch_tpu.training import build_frontend
+    from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
+
+    if str(cfg.model.name) != 'wav2letter':
+        raise SystemExit('--streaming supports the wav2letter model family')
+    layers = [dict(l) for l in cfg.model.layers][:int(cfg.model.mid_layers)]
+    variables = {'params': jax.device_get(trainer.state.params),
+                 'batch_stats': jax.device_get(trainer.state.batch_stats)}
+    sw = StreamingWav2Letter(layers, len(labels), variables,
+                             build_frontend(cfg.model, dither=0.0),
+                             chunk_frames=args.streaming_chunk_frames,
+                             weights='int8' if args.int8 else 'f32')
+    print(f'streaming: prime {sw.prime_samples / 16000:.2f}s, chunk '
+          f'{args.streaming_chunk_frames * 10} ms, lookahead '
+          f'{sw.lookahead_frames * 0.01:.2f}s', file=sys.stderr)
+
+    is_beam = isinstance(decoder, (PrefixBeamSearchLMDecoder,
+                                   DeviceBeamDecoder))
+    acc = RatioAccumulator()
+    n_fallback = 0
+    for i in range(len(ds)):
+        audio, _, _, text = ds[i]
+        audio = np.asarray(audio, np.float32)[None, :]
+        if audio.shape[1] <= sw.prime_samples:
+            n_fallback += 1
+            feats, flens = frontend(audio, np.array([audio.shape[1]]))
+            logp, out_lens = model.apply(variables, feats, flens,
+                                         train=False)
+            logp = np.asarray(logp)[:, :int(out_lens[0])]
+        else:
+            sess = sw.start(1)
+            outs = []
+            for s in range(0, audio.shape[1], sw.chunk_samples):
+                outs.append(sess.feed(audio[:, s:s + sw.chunk_samples]))
+            fin, valid = sess.finish()
+            logp = np.concatenate(
+                [o for o in outs if o.shape[1]] + [fin[:, :int(valid[0])]],
+                axis=1)
+        if isinstance(decoder, DeviceBeamDecoder):
+            decoded = decoder.decode(np.exp(logp),
+                                     np.array([logp.shape[1]]))[0]
+        elif isinstance(decoder, PrefixBeamSearchLMDecoder):
+            decoded = decoder.decode(np.exp(logp[0]))
+        else:
+            decoded = decoder.decode(logp)[0]
+        c, cd = decoder.cer_ratio(text, decoded)
+        w, wd = decoder.wer_ratio(text, decoded)
+        acc.add('cer', c, cd)
+        acc.add('wer', w, wd)
+        if args.print_all or (args.print_samples and i == 0):
+            print(f'reference: {text}')
+            print(f'decoded  : {decoded}')
+
+    result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
+              'offline_fallback': n_fallback,
+              'weights': 'int8' if args.int8 else 'f32'}
     result.update(acc.ratios())
     print(json.dumps(result))
     return 0

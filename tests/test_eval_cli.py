@@ -59,6 +59,34 @@ def test_eval_cli_beam_search(trained_run, capsys):
     assert 'wer' in result
 
 
+def test_eval_cli_streaming(trained_run, capsys):
+    """--streaming evaluates through the chunked serving path."""
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--streaming', '--streaming-chunk-frames', '8'])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result['streaming'] is True
+    assert result['num_utterances'] == 6
+    assert result['offline_fallback'] == 0   # all utterances streamed
+    assert 'wer' in result and 'cer' in result
+
+
+def test_eval_cli_streaming_int8(trained_run, capsys):
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--streaming', '--streaming-chunk-frames', '8',
+                        '--int8'])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result['weights'] == 'int8'
+    assert 'wer' in result
+
+
 def test_beam_param_parsing():
     import test as test_cli
     params = test_cli.parse_beam_params('k=8,alpha=0.5,beta=2,prune=1e-4')

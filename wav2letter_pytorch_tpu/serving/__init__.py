@@ -6,8 +6,11 @@ inference layer: chunked stateful streaming with compiled fixed-shape phase
 programs (streaming.py) and BatchNorm-folded fused conv blocks.
 """
 
+from .infer import offline_forward
+from .quantize import quantize_folded, quantized_bytes
 from .streaming import (StreamingSession, StreamingTranscriber,
                         StreamingWav2Letter, fold_batchnorm)
 
 __all__ = ['StreamingWav2Letter', 'StreamingSession', 'StreamingTranscriber',
-           'fold_batchnorm']
+           'fold_batchnorm', 'offline_forward', 'quantize_folded',
+           'quantized_bytes']

@@ -1,0 +1,64 @@
+"""Serving-optimized offline forward: BN-folded, optionally int8 weights.
+
+The training model (models/wav2letter.py) tracks BatchNorm statistics and
+keeps BN as a separate op so train/eval share one module. For serving,
+eval-mode BN is a constant affine map, so it folds into each conv's
+kernel/bias (streaming.fold_batchnorm) — one fused conv+bias+clamp per
+layer, fewer HBM round-trips, and the natural place to hang weight-only
+int8 quantization (quantize.py) for the memory-bound batch-1 regime.
+
+``offline_forward`` reproduces ``Wav2Letter.apply(train=False)`` exactly
+(same reflect SAME padding from the static trace-time length, models/
+base.py:27-38) for any input length.
+"""
+
+from __future__ import annotations
+
+from ..models.base import same_pad_amount
+
+
+def _layer_geometry(layers):
+    return [(int(l['kernel_size']), int(l.get('stride', 1)),
+             int(l.get('dilation', 1))) for l in layers]
+
+
+def offline_forward(layers, folded, feats, input_lengths=None):
+    """Run the folded conv stack over ``feats [B, T, M]``.
+
+    ``layers``: the model layer spec truncated to mid_layers.
+    ``folded``: output of ``fold_batchnorm`` (f32) or
+    ``quantize.quantize_folded`` (int8 + per-channel scales).
+    Returns (log_probs [B, T', L], out_lengths | None).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = feats
+    scale_total = 1
+    for (k, s, d), wb in zip(_layer_geometry(layers), folded[:-1]):
+        w, b = _materialize(wb)
+        left, right = same_pad_amount(x.shape[1], k, s, d)
+        if left or right:
+            x = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode='reflect')
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=(s,), padding='VALID', rhs_dilation=(d,),
+            dimension_numbers=('NWC', 'WIO', 'NWC'))
+        x = jnp.clip(out + b, 0.0, 20.0)
+        scale_total *= s
+    wh, bh = _materialize(folded[-1])
+    logits = jnp.einsum('btc,cl->btl', x, wh[0]) + bh
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if input_lengths is None:
+        return logp, None
+    return logp, jnp.asarray(input_lengths, jnp.int32) // scale_total
+
+
+def _materialize(wb):
+    """(w, b) f32 passthrough, or (w_q int8, scale, b) -> dequantized."""
+    import jax.numpy as jnp
+    if len(wb) == 2:
+        w, b = wb
+        return jnp.asarray(w), jnp.asarray(b)
+    q, scale, b = wb
+    w = jnp.asarray(q, jnp.float32) * jnp.asarray(scale)[None, None, :]
+    return w, jnp.asarray(b)

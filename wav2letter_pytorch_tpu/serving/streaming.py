@@ -151,7 +151,7 @@ class StreamingWav2Letter:
 
     def __init__(self, layers, num_labels: int, variables, frontend,
                  chunk_frames: int = 64, norm: str = 'cumulative',
-                 norm_stats=None):
+                 norm_stats=None, weights: str = 'f32'):
         import jax  # deferred so module import never initializes a backend
 
         self.hop = frontend.hop
@@ -248,6 +248,11 @@ class StreamingWav2Letter:
             z += self.scale
 
         self._folded = fold_batchnorm(variables, len(self._layer_cfg))
+        if weights == 'int8':
+            from .quantize import quantize_folded
+            self._folded = quantize_folded(self._folded)
+        elif weights != 'f32':
+            raise ValueError(f'unknown weights mode: {weights!r}')
         self._prime_fn = jax.jit(self._prime)
         self._step_fn = jax.jit(self._step)
         self._finish_fn = jax.jit(self._finish)
@@ -309,10 +314,13 @@ class StreamingWav2Letter:
         Returns (log_probs, new_carries)."""
         import jax
         import jax.numpy as jnp
+
+        from .infer import _materialize
         new_carries = []
         x = feats
-        for i, (sp, (w, b)) in enumerate(zip(self._specs[1:-1],
-                                             self._folded[:-1])):
+        for i, (sp, wb) in enumerate(zip(self._specs[1:-1],
+                                         self._folded[:-1])):
+            w, b = _materialize(wb)
             if primed:
                 left = x[:, 1:sp.left + 1][:, ::-1]
                 buf = jnp.concatenate([left, x], axis=1)
@@ -321,13 +329,12 @@ class StreamingWav2Letter:
             q = (buf.shape[1] - sp.ctx - 1) // sp.stride + 1
             new_carries.append(buf[:, q * sp.stride:])
             out = jax.lax.conv_general_dilated(
-                buf, jnp.asarray(w), window_strides=(sp.stride,),
+                buf, w, window_strides=(sp.stride,),
                 padding='VALID', rhs_dilation=(sp.dilation,),
                 dimension_numbers=('NWC', 'WIO', 'NWC'))
-            x = jnp.clip(out + jnp.asarray(b), 0.0, 20.0)
-        wh, bh = self._folded[-1]
-        logits = jnp.einsum('btc,cl->btl', x, jnp.asarray(wh)[0]) \
-            + jnp.asarray(bh)
+            x = jnp.clip(out + b, 0.0, 20.0)
+        wh, bh = _materialize(self._folded[-1])
+        logits = jnp.einsum('btc,cl->btl', x, wh[0]) + bh
         return jax.nn.log_softmax(logits, axis=-1), tuple(new_carries)
 
     def _prime(self, audio):
