@@ -153,7 +153,7 @@ class SpectrogramFrontend:
     def __init__(self, audio_conf: AudioConfig, n_mels: int = 64,
                  stft_method: str = 'conv', dither: float = DITHER,
                  feature_type: str = 'logmel', n_mfcc: int | None = None,
-                 norm_stats: tuple | None = None):
+                 norm_stats: tuple | None = None, normalize: bool = True):
         """``feature_type``: 'logmel' (reference behavior) or 'mfcc'
         (orthonormal DCT-II over the log-mel bands — the wav2letter paper's
         frontend, which the reference notes it does NOT implement,
@@ -163,13 +163,17 @@ class SpectrogramFrontend:
         When given, normalization uses these fixed statistics instead of the
         per-utterance masked mean/std — the production/serving choice
         (corpus-level CMVN), and the mode the streaming path
-        (serving/streaming.py) can reproduce exactly."""
+        (serving/streaming.py) can reproduce exactly.
+
+        ``normalize=False`` emits raw (masked) log-mel features — used to
+        measure corpus CMVN stats in the first place (serving/export.py)."""
         self.conf = audio_conf
         self.n_mels = n_mels
         self.stft_method = stft_method
         self.dither = dither
         self.feature_type = feature_type
         self.n_mfcc = n_mfcc or n_mels
+        self.normalize = normalize
         self.norm_stats = None
         if norm_stats is not None:
             self.norm_stats = (np.asarray(norm_stats[0], np.float32),
@@ -327,6 +331,8 @@ class SpectrogramFrontend:
         flens = self.frame_lengths(sample_lengths)
         mask = (jnp.arange(n_frames)[None, :] < flens[:, None])  # [B, F]
         maskf = mask[:, :, None].astype(feats.dtype)
+        if not self.normalize:
+            return feats * maskf, flens
         if self.norm_stats is not None:
             mean, std = self.norm_stats
             feats = (feats - mean[None, None, :]) / (std[None, None, :]

@@ -6,6 +6,7 @@ inference layer: chunked stateful streaming with compiled fixed-shape phase
 programs (streaming.py) and BatchNorm-folded fused conv blocks.
 """
 
+from .export import compute_cmvn, export_serving, load_serving
 from .infer import offline_forward
 from .quantize import quantize_folded, quantized_bytes
 from .streaming import (StreamingSession, StreamingTranscriber,
@@ -13,4 +14,5 @@ from .streaming import (StreamingSession, StreamingTranscriber,
 
 __all__ = ['StreamingWav2Letter', 'StreamingSession', 'StreamingTranscriber',
            'fold_batchnorm', 'offline_forward', 'quantize_folded',
-           'quantized_bytes']
+           'quantized_bytes', 'export_serving', 'load_serving',
+           'compute_cmvn']

@@ -1,0 +1,110 @@
+"""Export a trained run as a self-contained serving artifact.
+
+A serving artifact is a directory with:
+
+* ``serving.npz`` — BN-folded conv weights (f32, or int8 + per-channel
+  scales) plus optional corpus CMVN stats;
+* ``serving.json`` — the layer geometry, label list, audio config, and
+  weight format.
+
+It is everything inference needs — no orbax checkpoint, no optimizer
+state, no training config resolution — and loads directly into
+``StreamingWav2Letter`` / ``offline_forward`` (scripts/export_serving.py
+is the CLI).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .quantize import quantize_folded
+from .streaming import fold_batchnorm
+
+
+def compute_cmvn(manifest_path: str, frontend_factory, labels,
+                 audio_conf, limit: int | None = None):
+    """Corpus-level CMVN: masked mean/std of raw log-mel over a manifest.
+
+    ``frontend_factory(normalize=False)`` must return a frontend emitting
+    unnormalized masked features. Returns (mean [M], std [M]) — the
+    ``norm_stats`` for exact-mode streaming and fixed-stat offline eval.
+    """
+    from ..data.dataset import ManifestDataset
+    ds = ManifestDataset(manifest_path, audio_conf, labels)
+    frontend = frontend_factory(normalize=False)
+    n = len(ds) if limit is None else min(limit, len(ds))
+    count, total, total_sq = 0.0, None, None
+    for i in range(n):
+        audio = np.asarray(ds[i][0], np.float32)[None, :]
+        feats, flens = frontend(audio, np.array([audio.shape[1]]))
+        feats = np.asarray(feats)[0, :int(flens[0])]
+        count += feats.shape[0]
+        s, ss = feats.sum(0), np.square(feats).sum(0)
+        total = s if total is None else total + s
+        total_sq = ss if total_sq is None else total_sq + ss
+    mean = total / count
+    var = np.maximum(total_sq / count - np.square(mean), 0.0)
+    # Unbiased, matching the per-utterance frontend convention.
+    var *= count / max(count - 1.0, 1.0)
+    return mean.astype(np.float32), np.sqrt(var).astype(np.float32)
+
+
+def export_serving(out_dir: str, layers, num_labels: int, variables,
+                   labels=None, audio_conf=None, weights: str = 'f32',
+                   norm_stats=None):
+    """Write the serving artifact. Returns the artifact directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    layers = [dict(l) for l in layers]
+    folded = fold_batchnorm(variables, len(layers))
+    arrays = {}
+    if weights == 'int8':
+        for i, (q, scale, b) in enumerate(quantize_folded(folded)):
+            arrays[f'w{i}'] = q
+            arrays[f's{i}'] = scale
+            arrays[f'b{i}'] = b
+    elif weights == 'f32':
+        for i, (w, b) in enumerate(folded):
+            arrays[f'w{i}'] = w
+            arrays[f'b{i}'] = b
+    else:
+        raise ValueError(f'unknown weights mode: {weights!r}')
+    if norm_stats is not None:
+        arrays['cmvn_mean'] = np.asarray(norm_stats[0], np.float32)
+        arrays['cmvn_std'] = np.asarray(norm_stats[1], np.float32)
+    np.savez(os.path.join(out_dir, 'serving.npz'), **arrays)
+    meta = {
+        'format': weights,
+        'num_layers': len(folded),
+        'layers': layers,
+        'num_labels': num_labels,
+        'labels': list(labels) if labels is not None else None,
+        'audio_conf': dict(audio_conf) if audio_conf is not None else None,
+        'has_cmvn': norm_stats is not None,
+    }
+    with open(os.path.join(out_dir, 'serving.json'), 'w') as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+def load_serving(artifact_dir: str):
+    """Load an artifact -> (meta dict, folded weights, norm_stats | None).
+
+    ``folded`` plugs into ``offline_forward`` and (via the ``folded=``
+    constructor arg) ``StreamingWav2Letter``.
+    """
+    with open(os.path.join(artifact_dir, 'serving.json')) as f:
+        meta = json.load(f)
+    npz = np.load(os.path.join(artifact_dir, 'serving.npz'))
+    folded = []
+    for i in range(meta['num_layers']):
+        if meta['format'] == 'int8':
+            folded.append((npz[f'w{i}'], npz[f's{i}'], npz[f'b{i}']))
+        else:
+            folded.append((npz[f'w{i}'], npz[f'b{i}']))
+    norm_stats = None
+    if meta.get('has_cmvn'):
+        norm_stats = (npz['cmvn_mean'], npz['cmvn_std'])
+    return meta, folded, norm_stats

@@ -147,11 +147,15 @@ class StreamingWav2Letter:
     norm : 'precomputed' (fixed stats; exact offline equivalence) or
         'cumulative' (running stats over frames seen so far).
     norm_stats : (mean [M], std [M]) — required for 'precomputed'.
+    folded : pre-folded weights (from ``fold_batchnorm``,
+        ``quantize_folded``, or an exported artifact via
+        ``export.load_serving``); when given, ``variables`` may be None
+        and ``weights`` is ignored.
     """
 
     def __init__(self, layers, num_labels: int, variables, frontend,
                  chunk_frames: int = 64, norm: str = 'cumulative',
-                 norm_stats=None, weights: str = 'f32'):
+                 norm_stats=None, weights: str = 'f32', folded=None):
         import jax  # deferred so module import never initializes a backend
 
         self.hop = frontend.hop
@@ -247,12 +251,15 @@ class StreamingWav2Letter:
                 break
             z += self.scale
 
-        self._folded = fold_batchnorm(variables, len(self._layer_cfg))
-        if weights == 'int8':
-            from .quantize import quantize_folded
-            self._folded = quantize_folded(self._folded)
-        elif weights != 'f32':
-            raise ValueError(f'unknown weights mode: {weights!r}')
+        if folded is not None:
+            self._folded = list(folded)
+        else:
+            self._folded = fold_batchnorm(variables, len(self._layer_cfg))
+            if weights == 'int8':
+                from .quantize import quantize_folded
+                self._folded = quantize_folded(self._folded)
+            elif weights != 'f32':
+                raise ValueError(f'unknown weights mode: {weights!r}')
         self._prime_fn = jax.jit(self._prime)
         self._step_fn = jax.jit(self._step)
         self._finish_fn = jax.jit(self._finish)

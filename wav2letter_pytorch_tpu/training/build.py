@@ -71,13 +71,19 @@ def model_input_size(model_cfg) -> int:
     return int(1 + nfft / 2)
 
 
-def build_frontend(model_cfg, dither: float | None = None) -> SpectrogramFrontend:
+def build_frontend(model_cfg, dither: float | None = None,
+                   normalize: bool = True,
+                   norm_stats=None) -> SpectrogramFrontend:
     ac = model_cfg['audio_conf']
     conf = AudioConfig(sample_rate=int(ac['sample_rate']),
                        window_size=float(ac['window_size']),
                        window_stride=float(ac['window_stride']),
                        window=ac.get('window', 'hamming'))
     kwargs = {} if dither is None else {'dither': dither}
+    if not normalize:
+        kwargs['normalize'] = False
+    if norm_stats is not None:
+        kwargs['norm_stats'] = norm_stats
     method = model_cfg.get('stft_method', 'auto') or 'auto'
     if method == 'auto':
         # Fused Pallas kernel on TPU (ops/stft_pallas.py, ~20% faster than
