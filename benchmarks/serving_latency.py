@@ -88,13 +88,20 @@ def main():
 
     dfeats = jax.device_put(feats)
 
+    # Weights/variables as jit args (device-resident), never closure
+    # constants: 600 MB baked into the HLO exceeds the tunnel's compile
+    # request limit and bloats compile time everywhere.
     def run_path(name, fold):
-        f = jax.jit(lambda x: offline_forward(layers, fold, x)[0])
-        return _timeit(lambda: f(dfeats), lambda o: float(o[0, 0, 0])) * 1e3
+        f = jax.jit(lambda fd, x: offline_forward(layers, fd, x)[0])
+        dfold = jax.device_put([tuple(a for a in wb) for wb in fold])
+        return _timeit(lambda: f(dfold, dfeats),
+                       lambda o: float(o[0, 0, 0])) * 1e3
 
     apply_fn = jax.jit(
-        lambda f, l: model.apply(variables, f, l, train=False)[0])
-    ms_apply = _timeit(lambda: apply_fn(dfeats, jnp.asarray(flens)),
+        lambda v, f, l: model.apply(v, f, l, train=False)[0])
+    dvars = jax.device_put(variables)
+    dlens = jax.device_put(jnp.asarray(flens))
+    ms_apply = _timeit(lambda: apply_fn(dvars, dfeats, dlens),
                        lambda o: float(o[0, 0, 0])) * 1e3
     ms_folded = run_path('folded', folded)
     ms_int8 = run_path('int8', folded_q)
@@ -112,10 +119,11 @@ def main():
             .astype(np.float32)
         state = sess._state
         step = sw._step_fn
+        weights = sw._weights_dev
         dchunk = jax.device_put(chunk)
 
         def one():
-            return step(state, dchunk)
+            return step(weights, state, dchunk)
 
         ms = _timeit(one, lambda o: float(o[1][0, 0, 0])) * 1e3
         stream[mode] = {

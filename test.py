@@ -218,15 +218,28 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
     from wav2letter_pytorch_tpu.training import build_frontend
     from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
 
-    if str(cfg.model.name) != 'wav2letter':
-        raise SystemExit('--streaming supports the wav2letter model family')
-    layers = [dict(l) for l in cfg.model.layers][:int(cfg.model.mid_layers)]
     variables = {'params': jax.device_get(trainer.state.params),
                  'batch_stats': jax.device_get(trainer.state.batch_stats)}
-    sw = StreamingWav2Letter(layers, len(labels), variables,
+    emits_probs = str(cfg.model.name) == 'jasper'
+    if emits_probs:
+        from wav2letter_pytorch_tpu.serving import StreamingJasper
+        if args.int8:
+            raise SystemExit('--int8 streaming supports wav2letter only')
+        blocks = [dict(b) for b in
+                  cfg.model.jasper_blocks][:int(cfg.model.mid_layers)]
+        sw = StreamingJasper(blocks, len(labels), variables,
                              build_frontend(cfg.model, dither=0.0),
-                             chunk_frames=args.streaming_chunk_frames,
-                             weights='int8' if args.int8 else 'f32')
+                             chunk_frames=args.streaming_chunk_frames)
+    elif str(cfg.model.name) == 'wav2letter':
+        layers = [dict(l) for l in
+                  cfg.model.layers][:int(cfg.model.mid_layers)]
+        sw = StreamingWav2Letter(layers, len(labels), variables,
+                                 build_frontend(cfg.model, dither=0.0),
+                                 chunk_frames=args.streaming_chunk_frames,
+                                 weights='int8' if args.int8 else 'f32')
+    else:
+        raise SystemExit(f'--streaming does not support model '
+                         f'{cfg.model.name!r}')
     print(f'streaming: prime {sw.prime_samples / 16000:.2f}s, chunk '
           f'{args.streaming_chunk_frames * 10} ms, lookahead '
           f'{sw.lookahead_frames * 0.01:.2f}s', file=sys.stderr)
@@ -253,11 +266,13 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
             logp = np.concatenate(
                 [o for o in outs if o.shape[1]] + [fin[:, :int(valid[0])]],
                 axis=1)
+        # Jasper streams eval-mode probabilities; Wav2Letter log-probs.
         if isinstance(decoder, DeviceBeamDecoder):
-            decoded = decoder.decode(np.exp(logp),
-                                     np.array([logp.shape[1]]))[0]
+            probs = logp if emits_probs else np.exp(logp)
+            decoded = decoder.decode(probs, np.array([logp.shape[1]]))[0]
         elif isinstance(decoder, PrefixBeamSearchLMDecoder):
-            decoded = decoder.decode(np.exp(logp[0]))
+            probs = logp if emits_probs else np.exp(logp)
+            decoded = decoder.decode(probs[0])
         else:
             decoded = decoder.decode(logp)[0]
         c, cd = decoder.cer_ratio(text, decoded)

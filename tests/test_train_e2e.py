@@ -208,6 +208,16 @@ def test_jasper_cli_end_to_end(tmp_path):
     result = json_mod.loads(buf.getvalue().strip().splitlines()[-1])
     assert 'wer' in result and result['loss'] is not None
 
+    # Same run through the chunked streaming serving path.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = test_cli.main(['--model-path', str(run_dir),
+                            '--test-manifest', manifest,
+                            '--streaming', '--streaming-chunk-frames', '8'])
+    assert rc == 0
+    result = json_mod.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result['streaming'] is True and 'wer' in result
+
 
 def test_resume_respects_epoch_budget(tmp_path):
     """A resumed run must finish the ORIGINAL max_epochs budget, not train

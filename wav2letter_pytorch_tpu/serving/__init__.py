@@ -9,10 +9,11 @@ programs (streaming.py) and BatchNorm-folded fused conv blocks.
 from .export import compute_cmvn, export_serving, load_serving
 from .infer import offline_forward
 from .quantize import quantize_folded, quantized_bytes
+from .streaming_jasper import StreamingJasper, fold_jasper
 from .streaming import (StreamingSession, StreamingTranscriber,
                         StreamingWav2Letter, fold_batchnorm)
 
-__all__ = ['StreamingWav2Letter', 'StreamingSession', 'StreamingTranscriber',
-           'fold_batchnorm', 'offline_forward', 'quantize_folded',
-           'quantized_bytes', 'export_serving', 'load_serving',
-           'compute_cmvn']
+__all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
+           'StreamingTranscriber', 'fold_batchnorm', 'fold_jasper',
+           'offline_forward', 'quantize_folded', 'quantized_bytes',
+           'export_serving', 'load_serving', 'compute_cmvn']

@@ -59,6 +59,7 @@ class _LayerSpec:
     stride: int
     dilation: int
     left: int               # offline left SAME-pad (even-total convention)
+    pad_mode: str = 'reflect'   # 'reflect' (w2l) | 'zeros' (jasper)
 
     @property
     def ctx(self) -> int:
@@ -70,12 +71,13 @@ def _plan(specs, prime_in: int, chunk_in: int):
 
     Returns (carries, prime_outs, chunk_outs) — all python ints — or None
     if ``prime_in`` is too small (some layer cannot form its left reflect
-    pad or emits nothing at prime).
+    pad or emits nothing at prime). Zero-padded layers prime their left pad
+    from a zeros carry, so only the emit-at-least-one constraint applies.
     """
     carries, prime_outs, chunk_outs = [], [], []
     p, f = prime_in, chunk_in
     for sp in specs:
-        if p < sp.left + 1 or f % sp.stride:
+        if (sp.pad_mode == 'reflect' and p < sp.left + 1) or f % sp.stride:
             return None
         q0 = (sp.left + p - sp.ctx - 1) // sp.stride + 1
         if q0 < 1:
@@ -132,36 +134,16 @@ class StreamState(NamedTuple):
     norm_sumsq: object              # [B, M]
 
 
-class StreamingWav2Letter:
-    """Chunked stateful inference over a trained Wav2Letter.
+class _FrontendStreaming:
+    """Shared streaming frontend phases (preemphasis -> framing -> DFT ->
+    mel -> log -> normalization) used by both model families. Subclasses
+    call ``_init_frontend`` during construction and the ``_fe_*`` phase
+    helpers inside their jitted programs."""
 
-    Parameters
-    ----------
-    layers : the model's layer spec list, already truncated to mid_layers
-        (``list(cfg.model.layers)[:cfg.model.mid_layers]``).
-    variables : trained flax variables ({'params', 'batch_stats'}).
-    frontend : the offline ``SpectrogramFrontend`` (geometry + DFT/mel
-        constants are taken from it, so streaming numerics match).
-    chunk_frames : steady-state chunk size in STFT frames (must be divisible
-        by the model's total stride). 64 frames = 640 ms at 10 ms hop.
-    norm : 'precomputed' (fixed stats; exact offline equivalence) or
-        'cumulative' (running stats over frames seen so far).
-    norm_stats : (mean [M], std [M]) — required for 'precomputed'.
-    folded : pre-folded weights (from ``fold_batchnorm``,
-        ``quantize_folded``, or an exported artifact via
-        ``export.load_serving``); when given, ``variables`` may be None
-        and ``weights`` is ignored.
-    """
-
-    def __init__(self, layers, num_labels: int, variables, frontend,
-                 chunk_frames: int = 64, norm: str = 'cumulative',
-                 norm_stats=None, weights: str = 'f32', folded=None):
-        import jax  # deferred so module import never initializes a backend
-
+    def _init_frontend(self, frontend, norm, norm_stats, chunk_frames):
         self.hop = frontend.hop
         self.n_fft = frontend.n_fft
         self.n_mels = frontend.n_mels
-        self.num_labels = num_labels
         self.norm = norm
         if norm == 'precomputed':
             if norm_stats is None:
@@ -170,7 +152,6 @@ class StreamingWav2Letter:
             self._norm_std = np.asarray(norm_stats[1], np.float32)
         elif norm != 'cumulative':
             raise ValueError(f'unknown norm mode: {norm!r}')
-
         # DFT basis + mel from the offline frontend (identical numerics).
         if hasattr(frontend, 'dft_kernel'):
             self._dft_kernel = np.asarray(frontend.dft_kernel)
@@ -178,95 +159,20 @@ class StreamingWav2Letter:
             self._dft_kernel = np.concatenate(
                 [frontend.dft_re, frontend.dft_im], axis=1)[:, None, :]
         self._fb_t = np.asarray(frontend.fb_t)
-
-        # Layer geometry. The frontend's framing is spec[0]: a width-n_fft,
-        # stride-hop "conv" with reflect left pad n_fft//2. Conv left pads
-        # use the even-total-frames convention (bucketed offline shapes are
-        # even at the stride-2 layer; see module docstring).
-        self._layer_cfg = [dict(l) for l in layers]
-        specs = [_LayerSpec(self.n_fft, self.hop, 1, self.n_fft // 2)]
-        t_parity = 0  # frames at this depth == 0 mod 2 (even-total input)
-        for l in self._layer_cfg:
-            k, s, d = (int(l['kernel_size']), int(l.get('stride', 1)),
-                       int(l.get('dilation', 1)))
-            # SAME pad for an even-length input at this layer (models/
-            # base.py:27-38 with t_in even): out = t/s, pad = (t/s-1)s
-            # + (k-1)d + 1 - t.
-            t = 1 << 20  # any large even number; pad is t-independent then
-            out_t = t // s
-            pad = max(0, (out_t - 1) * s + (k - 1) * d + 1 - t)
-            specs.append(_LayerSpec(k, s, d, pad // 2))
-        specs.append(_LayerSpec(1, 1, 1, 0))  # 1x1 head
-        self._specs = specs
-        self.scale = int(np.prod([sp.stride for sp in specs[1:]]))
-        if chunk_frames % self.scale:
-            raise ValueError(f'chunk_frames must be divisible by the total '
-                             f'stride {self.scale}')
         self.chunk_frames = chunk_frames
         self.chunk_samples = chunk_frames * self.hop
-
-        # Smallest prime window all layers can reflect-prime from.
-        plan = None
-        fp = chunk_frames
-        while plan is None:
-            fp += 1
-            if fp > 1 << 16:
-                raise ValueError('no feasible prime window; model lookahead '
-                                 'too large for streaming')
-            plan = _plan(specs, fp * self.hop, self.chunk_samples)
-        self.prime_frames = fp
-        self.prime_samples = fp * self.hop
-        self._carries, self._prime_outs, self._chunk_outs = plan
-        self.prime_out = self._prime_outs[-1]       # head frames at prime
-        self.chunk_out = self._chunk_outs[-1]       # head frames per step
-        # Algorithmic lookahead: input frames that must arrive beyond an
-        # output's position before it can be emitted.
-        la = 0
-        for sp in reversed(specs[1:]):
-            la = la * sp.stride + (sp.ctx - sp.left)
-        self.lookahead_frames = la
-
-        # ---- finish-phase static geometry ----
+        # The STFT framing as a stream layer: width-n_fft stride-hop conv
+        # with reflect left pad n_fft//2 (features.py:236-251).
+        self._fe_spec = _LayerSpec(self.n_fft, self.hop, 1, self.n_fft // 2)
         # Frontend emits frames lagging the audio end by 2 (reflect-right +
         # centered last frame); a tail of <= chunk_samples therefore yields
         # at most chunk_frames + 2 more frames.
         self._fin_frames = chunk_frames + 2
+
+    def _set_fin_zeros(self, fe_carry_len: int):
         need = self.n_fft + self.hop * (self._fin_frames - 1)
         self._fin_zeros = max(self.n_fft // 2,
-                              need - self._carries[0] - self.chunk_samples)
-        # Max head frames still owed after the last steady chunk.
-        rem_max = (fp + chunk_frames + 1) // self.scale - self.prime_out
-        z = 0
-        while True:
-            # Simulate the conv stack over (finish frames + z zero frames).
-            q, ok = self._fin_frames + z, True
-            for sp, carry in zip(specs[1:], self._carries[1:]):
-                q = (carry + q - sp.ctx - 1) // sp.stride + 1
-                if q < 1:
-                    ok = False
-                    break
-            if ok and q >= rem_max:
-                self._fin_flush = z
-                self._fin_out = q
-                break
-            z += self.scale
-
-        if folded is not None:
-            self._folded = list(folded)
-        else:
-            self._folded = fold_batchnorm(variables, len(self._layer_cfg))
-            if weights == 'int8':
-                from .quantize import quantize_folded
-                self._folded = quantize_folded(self._folded)
-            elif weights != 'f32':
-                raise ValueError(f'unknown weights mode: {weights!r}')
-        self._prime_fn = jax.jit(self._prime)
-        self._step_fn = jax.jit(self._step)
-        self._finish_fn = jax.jit(self._finish)
-
-    # ------------------------------------------------------------------
-    # jitted phase programs
-    # ------------------------------------------------------------------
+                              need - fe_carry_len - self.chunk_samples)
 
     def _preemph(self, x, prev):
         """x[t] - 0.97*x[t-1] with ``prev`` as x[-1] (features.py:221-226;
@@ -314,7 +220,188 @@ class StreamingWav2Letter:
                                             + NORM_EPS)
         return out * maskf, count, nsum, nsumsq
 
-    def _conv_layers(self, feats, carries, primed: bool):
+    def _fe_prime(self, audio):
+        """First window: reflect-left prime. Returns
+        (preemph_last, fe_carry, norm_state, feats [B, n, M])."""
+        import jax.numpy as jnp
+        x = self._preemph(audio, audio[:, :1])
+        left = x[:, 1:self.n_fft // 2 + 1][:, ::-1]
+        buf = jnp.concatenate([left, x], axis=1)
+        n = (buf.shape[1] - self.n_fft) // self.hop + 1
+        fe_carry = buf[:, n * self.hop:]
+        feats = self._frames_to_mel(buf, n)
+        B = audio.shape[0]
+        mask = jnp.ones((B, n, 1), jnp.float32)
+        count = jnp.zeros((B,), jnp.float32)
+        nsum = jnp.zeros((B, self.n_mels), jnp.float32)
+        nsumsq = jnp.zeros((B, self.n_mels), jnp.float32)
+        feats, count, nsum, nsumsq = self._normalize(feats, mask, count,
+                                                     nsum, nsumsq)
+        return audio[:, -1:], fe_carry, (count, nsum, nsumsq), feats
+
+    def _fe_step(self, preemph_last, fe_carry, norm_state, audio):
+        import jax.numpy as jnp
+        x = self._preemph(audio, preemph_last)
+        buf = jnp.concatenate([fe_carry, x], axis=1)
+        n = self.chunk_frames
+        fe_carry = buf[:, n * self.hop:]
+        feats = self._frames_to_mel(buf, n)
+        mask = jnp.ones((audio.shape[0], n, 1), jnp.float32)
+        feats, count, nsum, nsumsq = self._normalize(feats, mask,
+                                                     *norm_state)
+        return audio[:, -1:], fe_carry, (count, nsum, nsumsq), feats
+
+    def _fe_finish(self, preemph_last, fe_carry, norm_state, tail,
+                   tail_lengths, extra_zero_frames: int = 0):
+        """Final window: per-sample reflect-right at the true boundary
+        (features.py:240-251), frames beyond flen zeroed. Returns
+        (feats [B, fin_frames + extra_zero_frames, M], valid_frames [B])."""
+        import jax
+        import jax.numpy as jnp
+        B = tail.shape[0]
+        x = self._preemph(tail, preemph_last)
+        zeros = jnp.zeros((B, self._fin_zeros), jnp.float32)
+        buf = jnp.concatenate([fe_carry, x, zeros], axis=1)
+        fe_off = fe_carry.shape[1]
+        pad = self.n_fft // 2
+        # Offline puts audio[L-2-i] at padded position L+i (features.py:
+        # 243-247, long-stream case of the mod formula); here audio[L-2-i]
+        # lives at buf[fe_off + tail_len - 2 - i].
+        pos = fe_off + tail_lengths[:, None]                  # [B, 1]
+        idx = jnp.clip(pos - 2 - jnp.arange(pad)[None, :], 0,
+                       buf.shape[1] - 1)
+        right = jnp.take_along_axis(buf, idx, axis=1)
+        padded = jax.vmap(
+            lambda row, upd, off: jax.lax.dynamic_update_slice(
+                row, upd, (off,)))(buf, right, fe_off + tail_lengths)
+        n = self._fin_frames
+        feats = self._frames_to_mel(padded, n)
+        valid = tail_lengths // self.hop + 2                  # [B] frames
+        mask = (jnp.arange(n)[None, :] < valid[:, None])[:, :, None] \
+            .astype(jnp.float32)
+        feats, _, _, _ = self._normalize(feats, mask, *norm_state)
+        if extra_zero_frames:
+            flush = jnp.zeros((B, extra_zero_frames, feats.shape[2]),
+                              jnp.float32)
+            feats = jnp.concatenate([feats, flush], axis=1)
+        return feats, valid
+
+
+class StreamingWav2Letter(_FrontendStreaming):
+    """Chunked stateful inference over a trained Wav2Letter.
+
+    Parameters
+    ----------
+    layers : the model's layer spec list, already truncated to mid_layers
+        (``list(cfg.model.layers)[:cfg.model.mid_layers]``).
+    variables : trained flax variables ({'params', 'batch_stats'}).
+    frontend : the offline ``SpectrogramFrontend`` (geometry + DFT/mel
+        constants are taken from it, so streaming numerics match).
+    chunk_frames : steady-state chunk size in STFT frames (must be divisible
+        by the model's total stride). 64 frames = 640 ms at 10 ms hop.
+    norm : 'precomputed' (fixed stats; exact offline equivalence) or
+        'cumulative' (running stats over frames seen so far).
+    norm_stats : (mean [M], std [M]) — required for 'precomputed'.
+    folded : pre-folded weights (from ``fold_batchnorm``,
+        ``quantize_folded``, or an exported artifact via
+        ``export.load_serving``); when given, ``variables`` may be None
+        and ``weights`` is ignored.
+    """
+
+    def __init__(self, layers, num_labels: int, variables, frontend,
+                 chunk_frames: int = 64, norm: str = 'cumulative',
+                 norm_stats=None, weights: str = 'f32', folded=None):
+        import jax  # deferred so module import never initializes a backend
+
+        self.num_labels = num_labels
+        self._init_frontend(frontend, norm, norm_stats, chunk_frames)
+
+        # Layer geometry. The frontend's framing is spec[0]; conv left pads
+        # use the even-total-frames convention (bucketed offline shapes are
+        # even at the stride-2 layer; see module docstring).
+        self._layer_cfg = [dict(l) for l in layers]
+        specs = [self._fe_spec]
+        for l in self._layer_cfg:
+            k, s, d = (int(l['kernel_size']), int(l.get('stride', 1)),
+                       int(l.get('dilation', 1)))
+            # SAME pad for an even-length input at this layer (models/
+            # base.py:27-38 with t_in even): out = t/s, pad = (t/s-1)s
+            # + (k-1)d + 1 - t.
+            t = 1 << 20  # any large even number; pad is t-independent then
+            out_t = t // s
+            pad = max(0, (out_t - 1) * s + (k - 1) * d + 1 - t)
+            specs.append(_LayerSpec(k, s, d, pad // 2))
+        specs.append(_LayerSpec(1, 1, 1, 0))  # 1x1 head
+        self._specs = specs
+        self.scale = int(np.prod([sp.stride for sp in specs[1:]]))
+        if chunk_frames % self.scale:
+            raise ValueError(f'chunk_frames must be divisible by the total '
+                             f'stride {self.scale}')
+
+        # Smallest prime window all layers can reflect-prime from.
+        plan = None
+        fp = chunk_frames
+        while plan is None:
+            fp += 1
+            if fp > 1 << 16:
+                raise ValueError('no feasible prime window; model lookahead '
+                                 'too large for streaming')
+            plan = _plan(specs, fp * self.hop, self.chunk_samples)
+        self.prime_frames = fp
+        self.prime_samples = fp * self.hop
+        self._carries, self._prime_outs, self._chunk_outs = plan
+        self.prime_out = self._prime_outs[-1]       # head frames at prime
+        self.chunk_out = self._chunk_outs[-1]       # head frames per step
+        # Algorithmic lookahead: input frames that must arrive beyond an
+        # output's position before it can be emitted.
+        la = 0
+        for sp in reversed(specs[1:]):
+            la = la * sp.stride + (sp.ctx - sp.left)
+        self.lookahead_frames = la
+
+        # ---- finish-phase static geometry ----
+        self._set_fin_zeros(self._carries[0])
+        # Max head frames still owed after the last steady chunk.
+        rem_max = (fp + chunk_frames + 1) // self.scale - self.prime_out
+        z = 0
+        while True:
+            # Simulate the conv stack over (finish frames + z zero frames).
+            q, ok = self._fin_frames + z, True
+            for sp, carry in zip(specs[1:], self._carries[1:]):
+                q = (carry + q - sp.ctx - 1) // sp.stride + 1
+                if q < 1:
+                    ok = False
+                    break
+            if ok and q >= rem_max:
+                self._fin_flush = z
+                self._fin_out = q
+                break
+            z += self.scale
+
+        if folded is not None:
+            self._folded = list(folded)
+        else:
+            self._folded = fold_batchnorm(variables, len(self._layer_cfg))
+            if weights == 'int8':
+                from .quantize import quantize_folded
+                self._folded = quantize_folded(self._folded)
+            elif weights != 'f32':
+                raise ValueError(f'unknown weights mode: {weights!r}')
+        # Weights are jit ARGUMENTS, not closure constants: 600 MB of f32
+        # baked into the HLO blows up compile payloads (and the axon
+        # tunnel's request limit); as device-resident args they are hashed
+        # by shape only.
+        self._weights_dev = jax.device_put(
+            [tuple(a for a in wb) for wb in self._folded])
+        self._prime_fn = jax.jit(self._prime)
+        self._step_fn = jax.jit(self._step)
+        self._finish_fn = jax.jit(self._finish)
+
+    # ------------------------------------------------------------------
+    # jitted phase programs
+    # ------------------------------------------------------------------
+
+    def _conv_layers(self, folded, feats, carries, primed: bool):
         """Run the folded conv stack over new frames. When priming,
         ``carries`` is None and each layer reflect-pads from its first
         frames (offline jnp.pad mode='reflect', models/wav2letter.py:50).
@@ -325,8 +412,7 @@ class StreamingWav2Letter:
         from .infer import _materialize
         new_carries = []
         x = feats
-        for i, (sp, wb) in enumerate(zip(self._specs[1:-1],
-                                         self._folded[:-1])):
+        for i, (sp, wb) in enumerate(zip(self._specs[1:-1], folded[:-1])):
             w, b = _materialize(wb)
             if primed:
                 left = x[:, 1:sp.left + 1][:, ::-1]
@@ -340,79 +426,37 @@ class StreamingWav2Letter:
                 padding='VALID', rhs_dilation=(sp.dilation,),
                 dimension_numbers=('NWC', 'WIO', 'NWC'))
             x = jnp.clip(out + b, 0.0, 20.0)
-        wh, bh = _materialize(self._folded[-1])
+        wh, bh = _materialize(folded[-1])
         logits = jnp.einsum('btc,cl->btl', x, wh[0]) + bh
         return jax.nn.log_softmax(logits, axis=-1), tuple(new_carries)
 
-    def _prime(self, audio):
-        import jax.numpy as jnp
-        x = self._preemph(audio, audio[:, :1])
-        left = x[:, 1:self.n_fft // 2 + 1][:, ::-1]
-        buf = jnp.concatenate([left, x], axis=1)
-        n = (buf.shape[1] - self.n_fft) // self.hop + 1  # == prime_outs[0]
-        fe_carry = buf[:, n * self.hop:]
-        feats = self._frames_to_mel(buf, n)
-        B = audio.shape[0]
-        mask = jnp.ones((B, n, 1), jnp.float32)
-        count = jnp.zeros((B,), jnp.float32)
-        nsum = jnp.zeros((B, self.n_mels), jnp.float32)
-        nsumsq = jnp.zeros((B, self.n_mels), jnp.float32)
-        feats, count, nsum, nsumsq = self._normalize(feats, mask, count,
-                                                     nsum, nsumsq)
-        logp, conv_carries = self._conv_layers(feats, None, primed=True)
-        state = StreamState(audio[:, -1:], fe_carry, conv_carries,
-                            count, nsum, nsumsq)
+    def _prime(self, folded, audio):
+        last, fe_carry, norm_state, feats = self._fe_prime(audio)
+        logp, conv_carries = self._conv_layers(folded, feats, None,
+                                               primed=True)
+        state = StreamState(last, fe_carry, conv_carries, *norm_state)
         return state, logp
 
-    def _step(self, state, audio):
-        import jax.numpy as jnp
-        x = self._preemph(audio, state.preemph_last)
-        buf = jnp.concatenate([state.fe_carry, x], axis=1)
-        n = self.chunk_frames
-        fe_carry = buf[:, n * self.hop:]
-        feats = self._frames_to_mel(buf, n)
-        mask = jnp.ones((audio.shape[0], n, 1), jnp.float32)
-        feats, count, nsum, nsumsq = self._normalize(
-            feats, mask, state.norm_count, state.norm_sum, state.norm_sumsq)
-        logp, conv_carries = self._conv_layers(feats, state.conv_carries,
+    def _step(self, folded, state, audio):
+        last, fe_carry, norm_state, feats = self._fe_step(
+            state.preemph_last, state.fe_carry,
+            (state.norm_count, state.norm_sum, state.norm_sumsq), audio)
+        logp, conv_carries = self._conv_layers(folded, feats,
+                                               state.conv_carries,
                                                primed=False)
-        return StreamState(audio[:, -1:], fe_carry, conv_carries,
-                           count, nsum, nsumsq), logp
+        return StreamState(last, fe_carry, conv_carries, *norm_state), logp
 
-    def _finish(self, state, tail, tail_lengths):
+    def _finish(self, folded, state, tail, tail_lengths):
         """tail: [B, chunk_samples] zero-padded; tail_lengths: [B] valid
         samples within it. Replicates the offline right boundary: reflect
-        pad at each sample's true end (features.py:240-251), zero features
-        beyond flen, flush the conv lookahead over those zeros."""
-        import jax
-        import jax.numpy as jnp
-        B = tail.shape[0]
-        x = self._preemph(tail, state.preemph_last)
-        zeros = jnp.zeros((B, self._fin_zeros), jnp.float32)
-        buf = jnp.concatenate([state.fe_carry, x, zeros], axis=1)
-        fe_off = state.fe_carry.shape[1]
-        pad = self.n_fft // 2
-        # Offline puts audio[L-2-i] at padded position L+i (features.py:
-        # 243-247, long-stream case of the mod formula); here audio[L-2-i]
-        # lives at buf[fe_off + tail_len - 2 - i].
-        pos = fe_off + tail_lengths[:, None]                  # [B, 1]
-        idx = jnp.clip(pos - 2 - jnp.arange(pad)[None, :], 0,
-                       buf.shape[1] - 1)
-        right = jnp.take_along_axis(buf, idx, axis=1)
-        padded = jax.vmap(
-            lambda row, upd, off: jax.lax.dynamic_update_slice(
-                row, upd, (off,)))(buf, right,
-                                   fe_off + tail_lengths)
-        n = self._fin_frames
-        feats = self._frames_to_mel(padded, n)
-        valid = tail_lengths // self.hop + 2                  # [B] frames
-        mask = (jnp.arange(n)[None, :] < valid[:, None])[:, :, None] \
-            .astype(jnp.float32)
-        feats, _, _, _ = self._normalize(feats, mask, state.norm_count,
-                                         state.norm_sum, state.norm_sumsq)
-        flush = jnp.zeros((B, self._fin_flush, feats.shape[2]), jnp.float32)
-        feats = jnp.concatenate([feats, flush], axis=1)
-        logp, _ = self._conv_layers(feats, state.conv_carries, primed=False)
+        pad at each sample's true end, zero features beyond flen, flush
+        the conv lookahead over those zeros."""
+        feats, _ = self._fe_finish(
+            state.preemph_last, state.fe_carry,
+            (state.norm_count, state.norm_sum, state.norm_sumsq),
+            tail, tail_lengths, extra_zero_frames=self._fin_flush)
+        logp, _ = self._conv_layers(folded, feats, state.conv_carries,
+                                    primed=False)
         # Head frames still valid in this finish emission.
         fin_valid = (self.prime_frames + tail_lengths // self.hop + 1) \
             // self.scale - self.prime_out
@@ -455,14 +499,16 @@ class StreamingSession:
                     break
                 chunk = self._buf[:, :self.m.prime_samples]
                 self._buf = self._buf[:, self.m.prime_samples:]
-                self._state, logp = self.m._prime_fn(chunk)
+                self._state, logp = self.m._prime_fn(self.m._weights_dev,
+                                                     chunk)
                 self._consumed += self.m.prime_samples
                 self._head_emitted += self.m.prime_out
                 outs.append(np.asarray(logp))
             elif self._buf.shape[1] >= self.m.chunk_samples:
                 chunk = self._buf[:, :self.m.chunk_samples]
                 self._buf = self._buf[:, self.m.chunk_samples:]
-                self._state, logp = self.m._step_fn(self._state, chunk)
+                self._state, logp = self.m._step_fn(self.m._weights_dev,
+                                                    self._state, chunk)
                 self._consumed += self.m.chunk_samples
                 self._head_emitted += self.m.chunk_out
                 outs.append(np.asarray(logp))
@@ -498,8 +544,8 @@ class StreamingSession:
         if avail:
             tail[:, :avail] = self._buf
         self._finished = True
-        logp, valid = self.m._finish_fn(self._state, tail,
-                                        tail_len.astype(np.int32))
+        logp, valid = self.m._finish_fn(self.m._weights_dev, self._state,
+                                        tail, tail_len.astype(np.int32))
         return np.asarray(logp), np.asarray(valid)
 
     @property
