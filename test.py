@@ -223,13 +223,12 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
     emits_probs = str(cfg.model.name) == 'jasper'
     if emits_probs:
         from wav2letter_pytorch_tpu.serving import StreamingJasper
-        if args.int8:
-            raise SystemExit('--int8 streaming supports wav2letter only')
         blocks = [dict(b) for b in
                   cfg.model.jasper_blocks][:int(cfg.model.mid_layers)]
         sw = StreamingJasper(blocks, len(labels), variables,
                              build_frontend(cfg.model, dither=0.0),
-                             chunk_frames=args.streaming_chunk_frames)
+                             chunk_frames=args.streaming_chunk_frames,
+                             weights='int8' if args.int8 else 'f32')
     elif str(cfg.model.name) == 'wav2letter':
         layers = [dict(l) for l in
                   cfg.model.layers][:int(cfg.model.mid_layers)]

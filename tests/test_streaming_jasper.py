@@ -134,6 +134,29 @@ def test_jasper_flagship_structure():
     assert sj.lookahead_frames > 100
 
 
+def test_jasper_int8_close_to_f32():
+    """Weight-only int8 Jasper streaming stays close to the f32 session
+    (same chunks, same state machinery)."""
+    model, variables, frontend = _build(JASPER_SMALL)
+    stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
+    fe = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0,
+                             norm_stats=stats)
+    kw = dict(chunk_frames=16, norm='precomputed', norm_stats=stats)
+    s32 = StreamingJasper(JASPER_SMALL, 7, variables, fe, **kw)
+    s8 = StreamingJasper(JASPER_SMALL, 7, variables, fe, weights='int8',
+                         **kw)
+    length = s32.prime_samples + s32.chunk_samples + 640
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+    a, va = _run_stream(s32, audio, np.array([length]))
+    b, vb = _run_stream(s8, audio, np.array([length]))
+    v = int(va[0])
+    assert v == int(vb[0])
+    assert np.mean(np.abs(a[0, :v] - b[0, :v])) < 0.02
+    agree = np.mean(np.argmax(a[0, :v], -1) == np.argmax(b[0, :v], -1))
+    assert agree > 0.9
+
+
 def test_jasper_unsupported_configs():
     model, variables, frontend = _build(JASPER_SMALL)
     bad = [dict(JASPER_SMALL[0]), dict(JASPER_SMALL[1])]

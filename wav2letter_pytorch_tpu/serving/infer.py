@@ -54,11 +54,12 @@ def offline_forward(layers, folded, feats, input_lengths=None):
 
 
 def _materialize(wb):
-    """(w, b) f32 passthrough, or (w_q int8, scale, b) -> dequantized."""
+    """(w, b) f32 passthrough, or (w_q int8, scale, b) -> dequantized.
+    ``b`` may be None (bias-free convs, e.g. Jasper's MaskedConv)."""
     import jax.numpy as jnp
     if len(wb) == 2:
         w, b = wb
-        return jnp.asarray(w), jnp.asarray(b)
+        return jnp.asarray(w), (None if b is None else jnp.asarray(b))
     q, scale, b = wb
     w = jnp.asarray(q, jnp.float32) * jnp.asarray(scale)[None, None, :]
-    return w, jnp.asarray(b)
+    return w, (None if b is None else jnp.asarray(b))

@@ -29,7 +29,8 @@ def quantize_folded(folded):
         scale = np.maximum(scale, 1e-12).astype(np.float32)
         q = np.clip(np.round(w / scale[None, None, :]), -127, 127) \
             .astype(np.int8)
-        out.append((q, scale, np.asarray(b, np.float32)))
+        out.append((q, scale,
+                    None if b is None else np.asarray(b, np.float32)))
     return out
 
 
@@ -37,5 +38,5 @@ def quantized_bytes(folded_q) -> int:
     """Total parameter bytes of a quantized stack (int8 + scales + bias)."""
     total = 0
     for q, scale, b in folded_q:
-        total += q.size + scale.nbytes + b.nbytes
+        total += q.size + scale.nbytes + (0 if b is None else b.nbytes)
     return total

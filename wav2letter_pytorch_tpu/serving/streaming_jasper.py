@@ -32,6 +32,7 @@ from typing import NamedTuple
 import numpy as np
 
 from ..models.jasper import compute_new_kernel_size, get_same_padding
+from .infer import _materialize
 from .streaming import (_FrontendStreaming, _LayerSpec, _plan,
                         StreamingSession)
 
@@ -141,13 +142,16 @@ class StreamingJasper(_FrontendStreaming):
 
     def __init__(self, jasper_blocks, num_labels: int, variables, frontend,
                  chunk_frames: int = 64, norm: str = 'cumulative',
-                 norm_stats=None):
+                 norm_stats=None, weights: str = 'f32'):
         import jax
 
         self.num_labels = num_labels
         self._init_frontend(frontend, norm, norm_stats, chunk_frames)
         self._blocks_cfg = [dict(b) for b in jasper_blocks]
         self._blocks, self._head = fold_jasper(variables, self._blocks_cfg)
+        if weights not in ('f32', 'int8'):
+            raise ValueError(f'unknown weights mode: {weights!r}')
+        self._int8 = weights == 'int8'
 
         # Main-chain specs (the stream plan ignores 1x1 residual branches —
         # they never change frame counts).
@@ -232,13 +236,18 @@ class StreamingJasper(_FrontendStreaming):
 
         # Weights as jit arguments (not closure constants) — see
         # streaming.py: large baked constants blow up compile payloads.
-        self._weights_dev = jax.device_put({
-            'ops': [(op['w'], op['b']) for blk in self._blocks
-                    for ops in blk['reps'] for op in ops],
-            'res': [wb for blk in self._blocks if blk['res']
-                    for wb in blk['res']],
-            'head': self._head,
-        })
+        ops_w = [(op['w'], op['b']) for blk in self._blocks
+                 for ops in blk['reps'] for op in ops]
+        res_w = [wb for blk in self._blocks if blk['res']
+                 for wb in blk['res']]
+        head_w = self._head
+        if self._int8:
+            from .quantize import quantize_folded
+            ops_w = quantize_folded(ops_w)
+            res_w = quantize_folded(res_w)
+            head_w = quantize_folded([head_w])[0]
+        self._weights_dev = jax.device_put(
+            {'ops': ops_w, 'res': res_w, 'head': head_w})
         self._prime_fn = jax.jit(self._prime)
         self._step_fn = jax.jit(self._step)
         self._finish_fn = jax.jit(self._finish)
@@ -261,7 +270,7 @@ class StreamingJasper(_FrontendStreaming):
             h = x
             for r, ops in enumerate(blk['reps']):
                 for op in ops:
-                    w_op, b_op = weights['ops'][ci]
+                    w_op, b_op = _materialize(weights['ops'][ci])
                     if op['mask'] and x_frames is not None and op['k'] > 1:
                         # Zero input frames beyond this sample's length
                         # (reference zero-fill, jasper.py:90-94). Carry
@@ -298,7 +307,7 @@ class StreamingJasper(_FrontendStreaming):
                 branches = block_panes if blk['dense'] \
                     else [block_panes[-1]]
                 for pane in branches:
-                    w, bias = weights['res'][fi]
+                    w, bias = _materialize(weights['res'][fi])
                     fifo = jnp.concatenate([fifos[fi], pane], axis=1)
                     rin, new_fifo = fifo[:, :take], fifo[:, take:]
                     new_fifos.append(new_fifo)
@@ -309,7 +318,7 @@ class StreamingJasper(_FrontendStreaming):
             h = act(h)
             x = h
             panes = panes + [x] if blk['dense'] else [x]
-        wh, bh = weights['head']
+        wh, bh = _materialize(weights['head'])
         logits = jnp.einsum('btc,cl->btl', x, wh[0]) + bh
         return (jax.nn.softmax(logits, axis=-1), tuple(new_carries),
                 tuple(new_fifos))
