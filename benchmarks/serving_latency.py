@@ -106,33 +106,38 @@ def main():
     ms_folded = run_path('folded', folded)
     ms_int8 = run_path('int8', folded_q)
 
-    # Streaming steady-state step.
+    # Streaming steady-state step: single stream (latency) and a
+    # 16-stream batch (concurrent real-time capacity per chip).
     stream = {}
     for mode, w in (('f32', 'f32'), ('int8', 'int8')):
         sw = StreamingWav2Letter(layers, len(labels), variables, frontend,
                                  chunk_frames=CHUNK_FRAMES, weights=w)
-        sess = sw.start(1)
-        prime = (rng.standard_normal((1, sw.prime_samples)) * 0.1) \
-            .astype(np.float32)
-        sess.feed(prime)
-        chunk = (rng.standard_normal((1, sw.chunk_samples)) * 0.1) \
-            .astype(np.float32)
-        state = sess._state
-        step = sw._step_fn
-        weights = sw._weights_dev
-        dchunk = jax.device_put(chunk)
-
-        def one():
-            return step(weights, state, dchunk)
-
-        ms = _timeit(one, lambda o: float(o[1][0, 0, 0])) * 1e3
         stream[mode] = {
-            'step_ms': round(ms, 3),
             'chunk_ms_audio': CHUNK_FRAMES * 10,
-            'rtf': round(ms / (CHUNK_FRAMES * 10), 4),
             'prime_s': round(sw.prime_samples / SR, 2),
             'lookahead_s': round(sw.lookahead_frames * 0.01, 2),
         }
+        for B in (1, 16):
+            sess = sw.start(B)
+            prime = (rng.standard_normal((B, sw.prime_samples)) * 0.1) \
+                .astype(np.float32)
+            sess.feed(prime)
+            chunk = (rng.standard_normal((B, sw.chunk_samples)) * 0.1) \
+                .astype(np.float32)
+            state = sess._state
+            step = sw._step_fn
+            weights = sw._weights_dev
+            dchunk = jax.device_put(chunk)
+
+            def one():
+                return step(weights, state, dchunk)
+
+            ms = _timeit(one, lambda o: float(o[1][0, 0, 0])) * 1e3
+            stream[mode][f'step_ms_b{B}'] = round(ms, 3)
+            stream[mode][f'rtf_b{B}'] = round(ms / (CHUNK_FRAMES * 10), 4)
+            # Real-time streams one chip sustains at this batch width.
+            stream[mode][f'streams_per_chip_b{B}'] = int(
+                B * CHUNK_FRAMES * 10 / ms)
 
     out = {
         'metric': 'serving_latency_w2l20',

@@ -132,3 +132,14 @@ def test_export_cli(tmp_path):
     assert norm_stats is not None and np.all(norm_stats[1] > 0)
     assert len(folded) == 2  # 1 block + head
     assert folded[0][0].dtype == np.int8
+
+    # Same trained run through the streaming demo CLI (synthetic feed).
+    spec = importlib.util.spec_from_file_location(
+        'stream_demo',
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     'scripts', 'stream_demo.py'))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    rc = demo.main(['--model-path', str(run_dir), '--synthetic', '3',
+                    '--chunk-frames', '8'])
+    assert rc == 0

@@ -217,6 +217,16 @@ def test_streaming_transcriber_matches_offline_greedy(small):
     final = tr.finish(np.asarray(lengths))
     assert final == offline_texts
 
+    # Incremental word timings == offline decoder offsets path.
+    from wav2letter_pytorch_tpu.decoding import get_time_per_word
+    _, off_offsets = GreedyDecoder(labels).decode(np.exp(logp_off),
+                                                  sizes=out_lens,
+                                                  return_offsets=True)
+    for b in range(2):
+        offline_times = get_time_per_word(list(offline_texts[b]),
+                                          list(off_offsets[b]), ratio=0.02)
+        assert tr.word_timings(0.02)[b] == offline_times
+
 
 def test_cumulative_norm_converges(small):
     """Running-stat normalization drifts from the offline per-utterance

@@ -562,13 +562,17 @@ class StreamingSession:
 class StreamingTranscriber:
     """Incremental greedy CTC transcription over a streaming session:
     collapse repeats then drop blanks (reference decoder.py:104-119), with
-    the repeat state carried across chunk boundaries."""
+    the repeat state carried across chunk boundaries. Per-character frame
+    offsets are tracked globally, so ``word_timings`` matches the offline
+    ``get_time_per_word`` surface (reference decoder.py:270-302)."""
 
     def __init__(self, session: StreamingSession, labels):
         self.session = session
         self.labels = list(labels)
         self._last = [0] * session.B   # previous frame's argmax id
         self._text = [''] * session.B
+        self._offsets = [[] for _ in range(session.B)]
+        self._frame = [0] * session.B  # global output frames consumed
 
     def _consume(self, logp, valid=None):
         if logp.shape[1] == 0:
@@ -583,8 +587,10 @@ class StreamingTranscriber:
                 i = int(ids[b, t])
                 if i != 0 and i != last:
                     s.append(self.labels[i])
+                    self._offsets[b].append(self._frame[b] + t)
                 last = i
             self._last[b] = last
+            self._frame[b] += n
             fresh.append(''.join(s))
             self._text[b] += fresh[-1]
         return fresh
@@ -602,3 +608,12 @@ class StreamingTranscriber:
     @property
     def text(self):
         return list(self._text)
+
+    def word_timings(self, frame_seconds: float):
+        """[(word, start_s, end_s)] per stream — the streaming counterpart
+        of the offline ``get_time_per_word`` path (test.py --word-timings).
+        ``frame_seconds`` = window_stride x the model's scaling factor."""
+        from ..decoding import get_time_per_word
+        return [get_time_per_word(list(self._text[b]), self._offsets[b],
+                                  ratio=frame_seconds)
+                for b in range(self.session.B)]
