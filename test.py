@@ -41,8 +41,13 @@ def parse_beam_params(text: str) -> dict:
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description='Offline ASR evaluation')
-    parser.add_argument('--model-path', required=True,
+    parser.add_argument('--model-path', default='',
                         help='training run dir (config.yaml + checkpoints/)')
+    parser.add_argument('--artifact', default='',
+                        help='serving artifact dir (scripts/'
+                             'export_serving.py output); evaluates through '
+                             'the streaming path with the artifact\'s '
+                             'weights and CMVN stats')
     parser.add_argument('--test-manifest', required=True)
     parser.add_argument('--batch-size', type=int, default=None)
     parser.add_argument('--print-samples', action='store_true',
@@ -81,6 +86,10 @@ def main(argv=None):
 
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+    if args.artifact:
+        return run_artifact_eval(args)
+    if not args.model_path:
+        raise SystemExit('pass --model-path (run dir) or --artifact')
     import jax
     from wav2letter_pytorch_tpu.config import ConfigNode, load_config
     from wav2letter_pytorch_tpu.data.dataset import (BucketBatchLoader,
@@ -203,6 +212,72 @@ def main(argv=None):
 
     result = {'loss': float(np.mean(losses)) if losses else None,
               'num_utterances': len(ds)}
+    result.update(acc.ratios())
+    print(json.dumps(result))
+    return 0
+
+
+def run_artifact_eval(args):
+    """Evaluate a serving artifact (exported weights + CMVN) through the
+    streaming path — no checkpoint, no training config needed."""
+    import numpy as np
+
+    from wav2letter_pytorch_tpu.data.dataset import ManifestDataset
+    from wav2letter_pytorch_tpu.data.features import (AudioConfig,
+                                                      SpectrogramFrontend)
+    from wav2letter_pytorch_tpu.decoding import GreedyDecoder
+    from wav2letter_pytorch_tpu.serving import (StreamingWav2Letter,
+                                                load_serving)
+    from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
+
+    meta, folded, norm_stats = load_serving(args.artifact)
+    if meta.get('family', 'wav2letter') != 'wav2letter':
+        raise SystemExit('artifact eval supports the wav2letter family')
+    labels = meta['labels']
+    ac = meta['audio_conf']
+    if labels is None or ac is None:
+        raise SystemExit('artifact lacks labels/audio_conf metadata')
+    n_mels = folded[0][0].shape[1]
+    conf = AudioConfig(sample_rate=int(ac['sample_rate']),
+                       window_size=float(ac['window_size']),
+                       window_stride=float(ac['window_stride']),
+                       window=ac.get('window', 'hamming'))
+    frontend = SpectrogramFrontend(conf, n_mels=n_mels, dither=0.0)
+    kw = {}
+    if norm_stats is not None:
+        kw = dict(norm='precomputed', norm_stats=norm_stats)
+    sw = StreamingWav2Letter(meta['layers'], meta['num_labels'], None,
+                             frontend, folded=folded,
+                             chunk_frames=args.streaming_chunk_frames, **kw)
+    decoder = GreedyDecoder(labels)
+    ds = ManifestDataset(args.test_manifest, ac, labels)
+    acc = RatioAccumulator()
+    n_skipped = 0
+    for i in range(len(ds)):
+        audio, _, _, text = ds[i]
+        audio = np.asarray(audio, np.float32)[None, :]
+        if audio.shape[1] <= sw.prime_samples:
+            n_skipped += 1
+            continue
+        sess = sw.start(1)
+        outs = []
+        for s in range(0, audio.shape[1], sw.chunk_samples):
+            outs.append(sess.feed(audio[:, s:s + sw.chunk_samples]))
+        fin, valid = sess.finish()
+        logp = np.concatenate(
+            [o for o in outs if o.shape[1]] + [fin[:, :int(valid[0])]],
+            axis=1)
+        decoded = decoder.decode(logp)[0]
+        c, cd = decoder.cer_ratio(text, decoded)
+        w, wd = decoder.wer_ratio(text, decoded)
+        acc.add('cer', c, cd)
+        acc.add('wer', w, wd)
+        if args.print_all or (args.print_samples and i == 0):
+            print(f'reference: {text}')
+            print(f'decoded  : {decoded}')
+    result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
+              'artifact': args.artifact, 'weights': meta['format'],
+              'skipped_below_prime': n_skipped}
     result.update(acc.ratios())
     print(json.dumps(result))
     return 0

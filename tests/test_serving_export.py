@@ -133,6 +133,19 @@ def test_export_cli(tmp_path):
     assert len(folded) == 2  # 1 block + head
     assert folded[0][0].dtype == np.int8
 
+    # Evaluate the artifact directly (no checkpoint) via test.py.
+    import io, contextlib
+    import test as test_cli
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = test_cli.main(['--artifact', str(art),
+                            '--test-manifest', manifest,
+                            '--streaming-chunk-frames', '8'])
+    assert rc == 0
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result['weights'] == 'int8' and 'wer' in result
+    assert result['skipped_below_prime'] < result['num_utterances']
+
     # Same trained run through the streaming demo CLI (synthetic feed).
     spec = importlib.util.spec_from_file_location(
         'stream_demo',

@@ -77,6 +77,8 @@ def export_serving(out_dir: str, layers, num_labels: int, variables,
     np.savez(os.path.join(out_dir, 'serving.npz'), **arrays)
     meta = {
         'format': weights,
+        'family': 'wav2letter',   # artifact export covers the w2l family;
+                                  # jasper serving folds live (fold_jasper)
         'num_layers': len(folded),
         'layers': layers,
         'num_labels': num_labels,
