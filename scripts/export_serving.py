@@ -16,8 +16,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -34,40 +32,14 @@ def main(argv=None):
                         help='cap utterances used for CMVN')
     args = parser.parse_args(argv)
 
-    import yaml
-
     import jax
-    from wav2letter_pytorch_tpu.config import ConfigNode
     from wav2letter_pytorch_tpu.serving import compute_cmvn, export_serving
-    from wav2letter_pytorch_tpu.training import (build_decoder,
-                                                 build_frontend, build_labels,
-                                                 build_model, build_optimizer)
-    from wav2letter_pytorch_tpu.training import Trainer
-    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    from wav2letter_pytorch_tpu.training import build_frontend, load_run
 
-    with open(os.path.join(args.model_path, 'config.yaml')) as f:
-        cfg = ConfigNode.wrap(yaml.safe_load(f))
-    labels = build_labels(cfg.model)
-    model = build_model(cfg.model, num_labels=len(labels))
-    frontend = build_frontend(cfg.model, dither=0.0)
-    optimizer, schedule = build_optimizer(cfg.model, 1, 1)
-    trainer = Trainer(cfg, model, frontend, optimizer, schedule,
-                      build_decoder(cfg.model, labels),
-                      run_dir=args.model_path)
-
-    sr = int(cfg.model.audio_conf.sample_rate)
-    nb = len(trainer.mesh.devices.ravel())  # init batch must shard evenly
-    batch = dict(
-        audio=np.zeros((nb, sr), np.float32),
-        audio_lengths=np.full((nb,), sr, np.int32),
-        targets=np.ones((nb, 8), np.int32),
-        target_lengths=np.full((nb,), 4, np.int32),
-        batch_mask=np.ones((nb,), np.float32))
-    trainer.init_state(batch)
-    ckpt = Checkpointer(os.path.join(args.model_path, 'checkpoints'))
-    if ckpt.latest_step() is None:
-        raise SystemExit(f'no checkpoint under {args.model_path}')
-    trainer.state = ckpt.restore(jax.device_get(trainer.state))
+    cfg, trainer, model, frontend, labels = load_run(args.model_path)
+    if str(cfg.model.name) != 'wav2letter':
+        raise SystemExit('artifact export supports the wav2letter family; '
+                         'serve jasper runs live via test.py --streaming')
     print(f'exporting step {int(trainer.state.step)}', file=sys.stderr)
 
     norm_stats = None
@@ -87,7 +59,10 @@ def main(argv=None):
     export_serving(args.out, layers, len(labels), variables, labels=labels,
                    audio_conf=dict(cfg.model.audio_conf),
                    weights='int8' if args.int8 else 'f32',
-                   norm_stats=norm_stats)
+                   norm_stats=norm_stats,
+                   padding_mode=cfg.model.get('padding_mode', 'reflect'),
+                   feature_type=cfg.model.get('feature_type', 'logmel'),
+                   n_mels=frontend.n_mels)
     print(f'wrote {args.out}/serving.npz + serving.json', file=sys.stderr)
     return 0
 

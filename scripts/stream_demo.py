@@ -33,57 +33,34 @@ def main(argv=None):
     parser.add_argument('--realtime', action='store_true')
     args = parser.parse_args(argv)
 
-    import yaml
-
     import jax
-    from wav2letter_pytorch_tpu.config import ConfigNode
     from wav2letter_pytorch_tpu.serving import (StreamingJasper,
                                                 StreamingTranscriber,
                                                 StreamingWav2Letter)
-    from wav2letter_pytorch_tpu.training import (build_decoder,
-                                                 build_frontend, build_labels,
-                                                 build_model, build_optimizer,
-                                                 Trainer)
-    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    from wav2letter_pytorch_tpu.training import load_run
 
-    with open(os.path.join(args.model_path, 'config.yaml')) as f:
-        cfg = ConfigNode.wrap(yaml.safe_load(f))
-    labels = build_labels(cfg.model)
-    model = build_model(cfg.model, num_labels=len(labels))
-    frontend = build_frontend(cfg.model, dither=0.0)
-    optimizer, schedule = build_optimizer(cfg.model, 1, 1)
-    trainer = Trainer(cfg, model, frontend, optimizer, schedule,
-                      build_decoder(cfg.model, labels),
-                      run_dir=args.model_path)
+    cfg, trainer, model, frontend, labels = load_run(args.model_path)
     sr = int(cfg.model.audio_conf.sample_rate)
-    nb = len(trainer.mesh.devices.ravel())
-    trainer.init_state(dict(
-        audio=np.zeros((nb, sr), np.float32),
-        audio_lengths=np.full((nb,), sr, np.int32),
-        targets=np.ones((nb, 8), np.int32),
-        target_lengths=np.full((nb,), 4, np.int32),
-        batch_mask=np.ones((nb,), np.float32)))
-    ckpt = Checkpointer(os.path.join(args.model_path, 'checkpoints'))
-    if ckpt.latest_step() is not None:
-        trainer.state = ckpt.restore(jax.device_get(trainer.state))
     variables = {'params': jax.device_get(trainer.state.params),
                  'batch_stats': jax.device_get(trainer.state.batch_stats)}
 
-    kw = dict(chunk_frames=args.chunk_frames,
-              weights='int8' if args.int8 else 'f32')
+    weights = 'int8' if args.int8 else 'f32'
     if str(cfg.model.name) == 'jasper':
         blocks = [dict(b) for b in
                   cfg.model.jasper_blocks][:int(cfg.model.mid_layers)]
         sw = StreamingJasper(blocks, len(labels), variables, frontend,
-                             chunk_frames=args.chunk_frames)
+                             chunk_frames=args.chunk_frames, weights=weights)
     else:
         layers = [dict(l) for l in
                   cfg.model.layers][:int(cfg.model.mid_layers)]
-        sw = StreamingWav2Letter(layers, len(labels), variables, frontend,
-                                 **kw)
+        sw = StreamingWav2Letter(
+            layers, len(labels), variables, frontend,
+            chunk_frames=args.chunk_frames, weights=weights,
+            padding_mode=cfg.model.get('padding_mode', 'reflect'))
+    hop_ms = float(cfg.model.audio_conf.window_stride) * 1e3
     print(f'prime {sw.prime_samples / sr:.2f}s | chunk '
-          f'{args.chunk_frames * 10} ms | lookahead '
-          f'{sw.lookahead_frames * 0.01:.2f}s', file=sys.stderr)
+          f'{args.chunk_frames * hop_ms:.0f} ms | lookahead '
+          f'{sw.lookahead_frames * hop_ms / 1e3:.2f}s', file=sys.stderr)
 
     if args.wav:
         from wav2letter_pytorch_tpu.data.audio_io import load_audio
@@ -99,6 +76,7 @@ def main(argv=None):
     sess = sw.start(1)
     tr = StreamingTranscriber(sess, labels)
     chunk = sw.chunk_samples
+    chunk_audio_ms = chunk / sr * 1e3
     lat = []
     for s in range(0, len(audio), chunk):
         piece = audio[None, s:s + chunk]
@@ -125,8 +103,8 @@ def main(argv=None):
         print(f'steady-state chunk latency: median '
               f'{np.median(lat):.1f} ms / p95 '
               f'{np.percentile(lat, 95):.1f} ms for '
-              f'{chunk / sr * 1e3:.0f} ms audio chunks '
-              f'(RTF {np.median(lat) / (chunk / sr * 1e3):.4f})',
+              f'{chunk_audio_ms:.0f} ms audio chunks '
+              f'(RTF {np.median(lat) / chunk_audio_ms:.4f})',
               file=sys.stderr)
     return 0
 

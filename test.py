@@ -228,8 +228,18 @@ def run_artifact_eval(args):
     from wav2letter_pytorch_tpu.decoding import GreedyDecoder
     from wav2letter_pytorch_tpu.serving import (StreamingWav2Letter,
                                                 load_serving)
+    from wav2letter_pytorch_tpu.serving.streaming import stream_logprobs
     from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
 
+    for flag, name in ((args.lm_path, '--lm-path'),
+                       (args.beam_search_params, '--beam-search-params'),
+                       (args.word_timings, '--word-timings'),
+                       (args.int8, '--int8'),
+                       (args.model_path, '--model-path')):
+        if flag:
+            raise SystemExit(f'{name} is not supported with --artifact '
+                             '(the artifact fixes weights; decoding is '
+                             'greedy — run --model-path eval for beam/LM)')
     meta, folded, norm_stats = load_serving(args.artifact)
     if meta.get('family', 'wav2letter') != 'wav2letter':
         raise SystemExit('artifact eval supports the wav2letter family')
@@ -237,18 +247,20 @@ def run_artifact_eval(args):
     ac = meta['audio_conf']
     if labels is None or ac is None:
         raise SystemExit('artifact lacks labels/audio_conf metadata')
-    n_mels = folded[0][0].shape[1]
     conf = AudioConfig(sample_rate=int(ac['sample_rate']),
                        window_size=float(ac['window_size']),
                        window_stride=float(ac['window_stride']),
                        window=ac.get('window', 'hamming'))
-    frontend = SpectrogramFrontend(conf, n_mels=n_mels, dither=0.0)
+    frontend = SpectrogramFrontend(
+        conf, n_mels=int(meta.get('n_mels', folded[0][0].shape[1])),
+        dither=0.0, feature_type=meta.get('feature_type', 'logmel'))
     kw = {}
     if norm_stats is not None:
         kw = dict(norm='precomputed', norm_stats=norm_stats)
-    sw = StreamingWav2Letter(meta['layers'], meta['num_labels'], None,
-                             frontend, folded=folded,
-                             chunk_frames=args.streaming_chunk_frames, **kw)
+    sw = StreamingWav2Letter(
+        meta['layers'], meta['num_labels'], None, frontend, folded=folded,
+        chunk_frames=args.streaming_chunk_frames,
+        padding_mode=meta.get('padding_mode', 'reflect'), **kw)
     decoder = GreedyDecoder(labels)
     ds = ManifestDataset(args.test_manifest, ac, labels)
     acc = RatioAccumulator()
@@ -259,14 +271,7 @@ def run_artifact_eval(args):
         if audio.shape[1] <= sw.prime_samples:
             n_skipped += 1
             continue
-        sess = sw.start(1)
-        outs = []
-        for s in range(0, audio.shape[1], sw.chunk_samples):
-            outs.append(sess.feed(audio[:, s:s + sw.chunk_samples]))
-        fin, valid = sess.finish()
-        logp = np.concatenate(
-            [o for o in outs if o.shape[1]] + [fin[:, :int(valid[0])]],
-            axis=1)
+        logp = stream_logprobs(sw, audio)
         decoded = decoder.decode(logp)[0]
         c, cd = decoder.cer_ratio(text, decoded)
         w, wd = decoder.wer_ratio(text, decoded)
@@ -307,16 +312,20 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
     elif str(cfg.model.name) == 'wav2letter':
         layers = [dict(l) for l in
                   cfg.model.layers][:int(cfg.model.mid_layers)]
-        sw = StreamingWav2Letter(layers, len(labels), variables,
-                                 build_frontend(cfg.model, dither=0.0),
-                                 chunk_frames=args.streaming_chunk_frames,
-                                 weights='int8' if args.int8 else 'f32')
+        sw = StreamingWav2Letter(
+            layers, len(labels), variables,
+            build_frontend(cfg.model, dither=0.0),
+            chunk_frames=args.streaming_chunk_frames,
+            weights='int8' if args.int8 else 'f32',
+            padding_mode=cfg.model.get('padding_mode', 'reflect'))
     else:
         raise SystemExit(f'--streaming does not support model '
                          f'{cfg.model.name!r}')
-    print(f'streaming: prime {sw.prime_samples / 16000:.2f}s, chunk '
-          f'{args.streaming_chunk_frames * 10} ms, lookahead '
-          f'{sw.lookahead_frames * 0.01:.2f}s', file=sys.stderr)
+    sr = int(cfg.model.audio_conf.sample_rate)
+    hop_ms = float(cfg.model.audio_conf.window_stride) * 1e3
+    print(f'streaming: prime {sw.prime_samples / sr:.2f}s, chunk '
+          f'{args.streaming_chunk_frames * hop_ms:.0f} ms, lookahead '
+          f'{sw.lookahead_frames * hop_ms / 1e3:.2f}s', file=sys.stderr)
 
     is_beam = isinstance(decoder, (PrefixBeamSearchLMDecoder,
                                    DeviceBeamDecoder))
@@ -332,14 +341,9 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
                                          train=False)
             logp = np.asarray(logp)[:, :int(out_lens[0])]
         else:
-            sess = sw.start(1)
-            outs = []
-            for s in range(0, audio.shape[1], sw.chunk_samples):
-                outs.append(sess.feed(audio[:, s:s + sw.chunk_samples]))
-            fin, valid = sess.finish()
-            logp = np.concatenate(
-                [o for o in outs if o.shape[1]] + [fin[:, :int(valid[0])]],
-                axis=1)
+            from wav2letter_pytorch_tpu.serving.streaming import \
+                stream_logprobs
+            logp = stream_logprobs(sw, audio)
         # Jasper streams eval-mode probabilities; Wav2Letter log-probs.
         if isinstance(decoder, DeviceBeamDecoder):
             probs = logp if emits_probs else np.exp(logp)

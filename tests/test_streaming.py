@@ -185,6 +185,63 @@ def test_stream_flagship_structure():
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize('variant', ['zeros', 'mfcc', 'wide_hop', 'fft'])
+def test_stream_parity_config_variants(variant):
+    """Non-default configs must stream exactly too: padding_mode='zeros',
+    MFCC features (n_mfcc != n_mels), a hop where the frontend boundary
+    lag is 1 instead of 2 (window_stride=0.02 -> hop 320), and a frontend
+    built with stft_method='fft' (no precomputed DFT basis)."""
+    import jax
+
+    ac = AudioConfig(window_stride=0.02) if variant == 'wide_hop' \
+        else AudioConfig()
+    hop = ac.hop_samples
+    fe_kw = dict(n_mels=N_MELS, dither=0.0)
+    n_feat = N_MELS
+    pad_mode = 'reflect'
+    tol = 5e-4
+    if variant == 'mfcc':
+        fe_kw.update(feature_type='mfcc', n_mfcc=6)
+        n_feat = 6
+    elif variant == 'fft':
+        fe_kw.update(stft_method='fft')
+        tol = 5e-3  # jnp.fft vs DFT-basis matmul numerics
+    elif variant == 'zeros':
+        pad_mode = 'zeros'
+    stats = (np.zeros(n_feat, np.float32), np.ones(n_feat, np.float32))
+    fe = SpectrogramFrontend(ac, norm_stats=stats, **fe_kw)
+
+    model = Wav2Letter(layers=SMALL_LAYERS, num_labels=7,
+                       mid_layers=len(SMALL_LAYERS), padding_mode=pad_mode)
+    t0 = 6400
+    feats, flens = fe(np.zeros((1, t0), np.float32), np.array([t0]))
+    variables = jax.device_get(
+        model.init(jax.random.PRNGKey(1), feats, flens, train=False))
+
+    sw = StreamingWav2Letter(SMALL_LAYERS, 7, variables, fe,
+                             chunk_frames=16, norm='precomputed',
+                             norm_stats=stats, padding_mode=pad_mode)
+    length = sw.prime_samples + 2 * sw.chunk_samples + 3 * hop + 17
+    rng = np.random.default_rng(13)
+    audio = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+
+    pad = length + (sw.lookahead_frames + 8) * hop
+    pad += hop - pad % hop
+    if (1 + pad // hop) % 2:
+        pad += hop
+    buf = np.zeros((1, pad), np.float32)
+    buf[:, :length] = audio
+    feats, flens = fe(buf, np.array([length]))
+    logp_off, out_lens = model.apply(variables, feats, flens, train=False)
+    logp_off, out_lens = np.asarray(logp_off), np.asarray(out_lens)
+
+    emitted, total_valid = _run_stream(sw, audio, np.array([length]))
+    v = int(total_valid[0])
+    assert v == int(out_lens[0]) == (1 + length // hop) // 2
+    np.testing.assert_allclose(emitted[0, :v], logp_off[0, :v],
+                               atol=tol, rtol=tol)
+
+
 def test_streaming_transcriber_matches_offline_greedy(small):
     model, variables, frontend = small
     labels = ['_', 'a', 'b', 'c', 'd', 'e', ' ']

@@ -54,7 +54,8 @@ def compute_cmvn(manifest_path: str, frontend_factory, labels,
 
 def export_serving(out_dir: str, layers, num_labels: int, variables,
                    labels=None, audio_conf=None, weights: str = 'f32',
-                   norm_stats=None):
+                   norm_stats=None, padding_mode: str = 'reflect',
+                   feature_type: str = 'logmel', n_mels: int | None = None):
     """Write the serving artifact. Returns the artifact directory."""
     os.makedirs(out_dir, exist_ok=True)
     layers = [dict(l) for l in layers]
@@ -85,6 +86,10 @@ def export_serving(out_dir: str, layers, num_labels: int, variables,
         'labels': list(labels) if labels is not None else None,
         'audio_conf': dict(audio_conf) if audio_conf is not None else None,
         'has_cmvn': norm_stats is not None,
+        'padding_mode': padding_mode,
+        'feature_type': feature_type,
+        'n_mels': (n_mels if n_mels is not None
+                   else int(np.asarray(folded[0][0]).shape[1])),
     }
     with open(os.path.join(out_dir, 'serving.json'), 'w') as f:
         json.dump(meta, f, indent=2)

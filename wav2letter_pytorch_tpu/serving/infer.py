@@ -22,12 +22,14 @@ def _layer_geometry(layers):
              int(l.get('dilation', 1))) for l in layers]
 
 
-def offline_forward(layers, folded, feats, input_lengths=None):
+def offline_forward(layers, folded, feats, input_lengths=None,
+                    padding_mode: str = 'reflect'):
     """Run the folded conv stack over ``feats [B, T, M]``.
 
     ``layers``: the model layer spec truncated to mid_layers.
     ``folded``: output of ``fold_batchnorm`` (f32) or
     ``quantize.quantize_folded`` (int8 + per-channel scales).
+    ``padding_mode`` must match the trained model's (reflect | zeros).
     Returns (log_probs [B, T', L], out_lengths | None).
     """
     import jax
@@ -39,7 +41,9 @@ def offline_forward(layers, folded, feats, input_lengths=None):
         w, b = _materialize(wb)
         left, right = same_pad_amount(x.shape[1], k, s, d)
         if left or right:
-            x = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode='reflect')
+            x = jnp.pad(x, ((0, 0), (left, right), (0, 0)),
+                        mode='reflect' if padding_mode == 'reflect'
+                        else 'constant')
         out = jax.lax.conv_general_dilated(
             x, w, window_strides=(s,), padding='VALID', rhs_dilation=(d,),
             dimension_numbers=('NWC', 'WIO', 'NWC'))

@@ -144,6 +144,14 @@ class _FrontendStreaming:
         self.hop = frontend.hop
         self.n_fft = frontend.n_fft
         self.n_mels = frontend.n_mels
+        # MFCC frontends apply an orthonormal DCT after the log-mel stage
+        # (features.py:313-315); replicate so MFCC-trained models stream
+        # the feature space they trained on.
+        self._dct = None
+        if getattr(frontend, 'feature_type', 'logmel') == 'mfcc':
+            self._dct = np.asarray(frontend.dct)
+        self.feat_dim = self.n_mels if self._dct is None \
+            else self._dct.shape[1]
         self.norm = norm
         if norm == 'precomputed':
             if norm_stats is None:
@@ -153,21 +161,34 @@ class _FrontendStreaming:
         elif norm != 'cumulative':
             raise ValueError(f'unknown norm mode: {norm!r}')
         # DFT basis + mel from the offline frontend (identical numerics).
+        # Frontends built with stft_method='fft' carry no basis — rebuild
+        # it from the same window exactly as features.py:192-205 does.
         if hasattr(frontend, 'dft_kernel'):
             self._dft_kernel = np.asarray(frontend.dft_kernel)
-        else:  # frontend built with stft_method='fft'
+        elif hasattr(frontend, 'dft_re'):
             self._dft_kernel = np.concatenate(
                 [frontend.dft_re, frontend.dft_im], axis=1)[:, None, :]
+        else:
+            k = np.arange(self.n_fft)[:, None]
+            f = np.arange(1 + self.n_fft // 2)[None, :]
+            ang = 2.0 * np.pi * k * f / self.n_fft
+            win = np.asarray(frontend.window)[:, None]
+            self._dft_kernel = np.concatenate(
+                [(np.cos(ang) * win).astype(np.float32),
+                 (-np.sin(ang) * win).astype(np.float32)],
+                axis=1)[:, None, :]
         self._fb_t = np.asarray(frontend.fb_t)
         self.chunk_frames = chunk_frames
         self.chunk_samples = chunk_frames * self.hop
         # The STFT framing as a stream layer: width-n_fft stride-hop conv
         # with reflect left pad n_fft//2 (features.py:236-251).
         self._fe_spec = _LayerSpec(self.n_fft, self.hop, 1, self.n_fft // 2)
-        # Frontend emits frames lagging the audio end by 2 (reflect-right +
-        # centered last frame); a tail of <= chunk_samples therefore yields
-        # at most chunk_frames + 2 more frames.
-        self._fin_frames = chunk_frames + 2
+        # Frontend frames lag the audio end by ceil((n_fft/2)/hop) (the
+        # reflect-right region still owed when the stream ends); a tail of
+        # <= chunk_samples therefore yields at most chunk_frames + lag
+        # more frames.
+        self._fe_lag = -(-(self.n_fft // 2) // self.hop)
+        self._fin_frames = chunk_frames + self._fe_lag
 
     def _set_fin_zeros(self, fe_carry_len: int):
         need = self.n_fft + self.hop * (self._fin_frames - 1)
@@ -198,7 +219,11 @@ class _FrontendStreaming:
         mel = jnp.einsum('bfn,nm->bfm', power, jnp.asarray(self._fb_t),
                          precision='highest',
                          preferred_element_type=jnp.float32)
-        return jnp.log1p(mel + LOG_ZERO_GUARD)
+        feats = jnp.log1p(mel + LOG_ZERO_GUARD)
+        if self._dct is not None:  # MFCC: DCT before normalization, as
+            feats = jnp.einsum('bfm,mc->bfc', feats,   # features.py:313-315
+                               jnp.asarray(self._dct), precision='highest')
+        return feats
 
     def _normalize(self, feats, mask, count, nsum, nsumsq):
         """Masked normalization; cumulative mode updates running stats
@@ -233,8 +258,8 @@ class _FrontendStreaming:
         B = audio.shape[0]
         mask = jnp.ones((B, n, 1), jnp.float32)
         count = jnp.zeros((B,), jnp.float32)
-        nsum = jnp.zeros((B, self.n_mels), jnp.float32)
-        nsumsq = jnp.zeros((B, self.n_mels), jnp.float32)
+        nsum = jnp.zeros((B, self.feat_dim), jnp.float32)
+        nsumsq = jnp.zeros((B, self.feat_dim), jnp.float32)
         feats, count, nsum, nsumsq = self._normalize(feats, mask, count,
                                                      nsum, nsumsq)
         return audio[:, -1:], fe_carry, (count, nsum, nsumsq), feats
@@ -276,7 +301,7 @@ class _FrontendStreaming:
                 row, upd, (off,)))(buf, right, fe_off + tail_lengths)
         n = self._fin_frames
         feats = self._frames_to_mel(padded, n)
-        valid = tail_lengths // self.hop + 2                  # [B] frames
+        valid = tail_lengths // self.hop + self._fe_lag       # [B] frames
         mask = (jnp.arange(n)[None, :] < valid[:, None])[:, :, None] \
             .astype(jnp.float32)
         feats, _, _, _ = self._normalize(feats, mask, *norm_state)
@@ -306,15 +331,20 @@ class StreamingWav2Letter(_FrontendStreaming):
         ``quantize_folded``, or an exported artifact via
         ``export.load_serving``); when given, ``variables`` may be None
         and ``weights`` is ignored.
+    padding_mode : must match the trained model's ``model.padding_mode``
+        ('reflect' default, or 'zeros' — models/wav2letter.py:40).
     """
 
     def __init__(self, layers, num_labels: int, variables, frontend,
                  chunk_frames: int = 64, norm: str = 'cumulative',
-                 norm_stats=None, weights: str = 'f32', folded=None):
+                 norm_stats=None, weights: str = 'f32', folded=None,
+                 padding_mode: str = 'reflect'):
         import jax  # deferred so module import never initializes a backend
 
         self.num_labels = num_labels
         self._init_frontend(frontend, norm, norm_stats, chunk_frames)
+        if padding_mode not in ('reflect', 'zeros'):
+            raise ValueError(f'unknown padding_mode: {padding_mode!r}')
 
         # Layer geometry. The frontend's framing is spec[0]; conv left pads
         # use the even-total-frames convention (bucketed offline shapes are
@@ -330,8 +360,8 @@ class StreamingWav2Letter(_FrontendStreaming):
             t = 1 << 20  # any large even number; pad is t-independent then
             out_t = t // s
             pad = max(0, (out_t - 1) * s + (k - 1) * d + 1 - t)
-            specs.append(_LayerSpec(k, s, d, pad // 2))
-        specs.append(_LayerSpec(1, 1, 1, 0))  # 1x1 head
+            specs.append(_LayerSpec(k, s, d, pad // 2, padding_mode))
+        specs.append(_LayerSpec(1, 1, 1, 0, padding_mode))  # 1x1 head
         self._specs = specs
         self.scale = int(np.prod([sp.stride for sp in specs[1:]]))
         if chunk_frames % self.scale:
@@ -415,7 +445,11 @@ class StreamingWav2Letter(_FrontendStreaming):
         for i, (sp, wb) in enumerate(zip(self._specs[1:-1], folded[:-1])):
             w, b = _materialize(wb)
             if primed:
-                left = x[:, 1:sp.left + 1][:, ::-1]
+                if sp.pad_mode == 'reflect':
+                    left = x[:, 1:sp.left + 1][:, ::-1]
+                else:  # zeros: Conv1dBlock padding_mode='zeros'
+                    left = jnp.zeros((x.shape[0], sp.left, x.shape[2]),
+                                     x.dtype)
                 buf = jnp.concatenate([left, x], axis=1)
             else:
                 buf = jnp.concatenate([carries[i], x], axis=1)
@@ -557,6 +591,20 @@ class StreamingSession:
         """Samples already dispatched; every stream's true end must lie in
         [consumed_samples, consumed_samples + chunk_samples] at finish()."""
         return self._consumed
+
+
+def stream_logprobs(model, audio, length: int | None = None) -> np.ndarray:
+    """Run ONE utterance through a fresh streaming session; returns the
+    concatenated valid outputs ``[1, T', L]``. Shared by the eval CLIs."""
+    audio = np.atleast_2d(np.asarray(audio, np.float32))
+    sess = model.start(1)
+    outs = []
+    for s in range(0, audio.shape[1], model.chunk_samples):
+        outs.append(sess.feed(audio[:, s:s + model.chunk_samples]))
+    fin, valid = sess.finish(
+        None if length is None else np.array([length]))
+    return np.concatenate(
+        [o for o in outs if o.shape[1]] + [fin[:, :int(valid[0])]], axis=1)
 
 
 class StreamingTranscriber:

@@ -192,12 +192,8 @@ class StreamingJasper(_FrontendStreaming):
         # jasper.py:84-94; dyadic-exact in f32).
         a, b = 1.0, 0.0
         idx = 1  # specs index (0 is the frontend)
-        op_i = 0
         prime_in = self._prime_outs[0]
-        self._block_plan = []
         for blk in self._blocks:
-            p_block_in = prime_in
-            a_block_in, b_block_in = a, b
             for ops in blk['reps']:
                 for op in ops:
                     op['len_a'], op['len_b'] = a, b
@@ -207,12 +203,6 @@ class StreamingJasper(_FrontendStreaming):
                         a, b = a / op['s'], (b + c0) / op['s'] + 1.0
                     prime_in = self._prime_outs[idx]
                     idx += 1
-                    op_i += 1
-            # Residual FIFO: pane frames buffered until the main path's
-            # matching output emerges (prime lag = p_block_in - q0_main).
-            self._block_plan.append(dict(
-                prime_in=p_block_in, prime_out=prime_in,
-                fifo_carry=p_block_in - prime_in))
         self._len_coeffs_head = (a, b)
         self._prime_out_head = self._prime_outs[-1]
 
@@ -256,8 +246,9 @@ class StreamingJasper(_FrontendStreaming):
 
     def _convs(self, weights, feats, carries, fifos, x_frames=None):
         """Run the block stack over new frames. ``x_frames`` ([B] float32,
-        finish only): X = prime_frames + tail//hop + 1, driving the
-        per-conv masked-length arithmetic."""
+        finish only): X = prime_frames + tail//hop + 1 (= flen minus the
+        steady chunks, n-independent), driving the per-conv masked-length
+        arithmetic."""
         import jax
         import jax.numpy as jnp
         x = feats
@@ -327,7 +318,7 @@ class StreamingJasper(_FrontendStreaming):
         """Prime-phase carries: each conv's left zero pad; empty FIFOs."""
         import jax.numpy as jnp
         carries, fifos = [], []
-        ch = self.n_mels
+        ch = self.feat_dim
         pane_ch = [ch]
         for blk in self._blocks:
             for ops in blk['reps']:

@@ -71,6 +71,46 @@ def model_input_size(model_cfg) -> int:
     return int(1 + nfft / 2)
 
 
+def load_run(run_dir: str, dither: float = 0.0):
+    """Load a training run directory with its latest checkpoint restored.
+
+    Returns (cfg, trainer, model, frontend, labels) — the shared recipe of
+    test.py / scripts/export_serving.py / scripts/stream_demo.py.
+    """
+    import os
+
+    import numpy as np
+    import yaml
+
+    import jax
+
+    from ..config import ConfigNode
+    from .checkpoint import Checkpointer
+    from .trainer import Trainer
+
+    with open(os.path.join(run_dir, 'config.yaml')) as f:
+        cfg = ConfigNode.wrap(yaml.safe_load(f))
+    labels = build_labels(cfg.model)
+    model = build_model(cfg.model, num_labels=len(labels))
+    frontend = build_frontend(cfg.model, dither=dither)
+    optimizer, schedule = build_optimizer(cfg.model, 1, 1)
+    trainer = Trainer(cfg, model, frontend, optimizer, schedule,
+                      build_decoder(cfg.model, labels), run_dir=run_dir)
+    sr = int(cfg.model.audio_conf.sample_rate)
+    nb = len(trainer.mesh.devices.ravel())  # init batch must shard evenly
+    trainer.init_state(dict(
+        audio=np.zeros((nb, sr), np.float32),
+        audio_lengths=np.full((nb,), sr, np.int32),
+        targets=np.ones((nb, 8), np.int32),
+        target_lengths=np.full((nb,), 4, np.int32),
+        batch_mask=np.ones((nb,), np.float32)))
+    ckpt = Checkpointer(os.path.join(run_dir, 'checkpoints'))
+    if ckpt.latest_step() is None:
+        raise FileNotFoundError(f'no checkpoint under {run_dir}')
+    trainer.state = ckpt.restore(jax.device_get(trainer.state))
+    return cfg, trainer, model, frontend, labels
+
+
 def build_frontend(model_cfg, dither: float | None = None,
                    normalize: bool = True,
                    norm_stats=None) -> SpectrogramFrontend:
