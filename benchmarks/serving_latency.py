@@ -55,6 +55,7 @@ def main():
     from wav2letter_pytorch_tpu.serving import (StreamingWav2Letter,
                                                 fold_batchnorm,
                                                 offline_forward,
+                                                offline_forward_q8,
                                                 quantize_folded,
                                                 quantized_bytes)
     from wav2letter_pytorch_tpu.training import (build_frontend,
@@ -109,7 +110,8 @@ def main():
     # Streaming steady-state step: single stream (latency) and a
     # 16-stream batch (concurrent real-time capacity per chip).
     stream = {}
-    for mode, w in (('f32', 'f32'), ('int8', 'int8')):
+    for mode, w in (('f32', 'f32'), ('int8', 'int8'),
+                    ('int8_full', 'int8_full')):
         sw = StreamingWav2Letter(layers, len(labels), variables, frontend,
                                  chunk_frames=CHUNK_FRAMES, weights=w)
         stream[mode] = {
@@ -139,6 +141,25 @@ def main():
             stream[mode][f'streams_per_chip_b{B}'] = int(
                 B * CHUNK_FRAMES * 10 / ms)
 
+    # Batched offline inference throughput (the transcription-service
+    # regime): 32 x 8 s utterances per dispatch through the folded path.
+    B32 = 32
+    feats32 = np.repeat(np.asarray(feats), B32, axis=0)
+    dfeats32 = jax.device_put(feats32)
+    tput = {}
+    paths = (('f32', folded, offline_forward),
+             ('int8_weights', folded_q, offline_forward),
+             ('int8_full', folded_q, offline_forward_q8))
+    for name, fold, fwd in paths:
+        f = jax.jit(lambda fd, x, fwd=fwd: fwd(layers, fd, x)[0])
+        dfold = jax.device_put([tuple(a for a in wb) for wb in fold])
+        ms = _timeit(lambda: f(dfold, dfeats32),
+                     lambda o: float(o[0, 0, 0]), reps=10) * 1e3
+        tput[name] = {'batch': B32, 'ms_per_batch': round(ms, 2),
+                      'utt_per_sec': round(B32 / (ms / 1e3), 1),
+                      'audio_sec_per_sec': round(
+                          B32 * SECONDS / (ms / 1e3), 0)}
+
     out = {
         'metric': 'serving_latency_w2l20',
         'batch1_offline_8s_ms': {
@@ -146,6 +167,7 @@ def main():
             'bn_folded': round(ms_folded, 2),
             'int8_weight_only': round(ms_int8, 2),
         },
+        'offline_throughput': tput,
         'weight_bytes': {'f32': f32_bytes,
                          'int8': quantized_bytes(folded_q)},
         'streaming': stream,

@@ -62,6 +62,48 @@ def test_int8_weights_close_and_small(small):
     assert agree > 0.95
 
 
+def test_full_int8_forward_close(small):
+    """int8 weights + int8 activations (offline_forward_q8): approximate
+    but decode-equivalent to the f32 path on most frames."""
+    from wav2letter_pytorch_tpu.serving import offline_forward_q8
+    model, variables, frontend = small
+    feats, flens = _feats(frontend, [24000, 20800])
+    folded = fold_batchnorm(variables, len(SMALL_LAYERS))
+    folded_q = quantize_folded(folded)
+    logp_f32, lens_f32 = offline_forward(SMALL_LAYERS, folded, feats, flens)
+    logp_q8, lens_q8 = offline_forward_q8(SMALL_LAYERS, folded_q, feats,
+                                          flens)
+    np.testing.assert_array_equal(np.asarray(lens_q8), np.asarray(lens_f32))
+    logp_f32, logp_q8 = np.asarray(logp_f32), np.asarray(logp_q8)
+    assert np.mean(np.abs(logp_q8 - logp_f32)) < 0.1
+    agree = np.mean(np.argmax(logp_q8, -1) == np.argmax(logp_f32, -1))
+    assert agree > 0.9
+
+
+def test_streaming_int8_full_close(small):
+    """Full-int8 streaming (weights + activations) stays decode-close to
+    the f32 session."""
+    from tests.test_streaming import _run_stream
+    model, variables, frontend = small
+    stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
+    fe = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0,
+                             norm_stats=stats)
+    kw = dict(chunk_frames=16, norm='precomputed', norm_stats=stats)
+    s32 = StreamingWav2Letter(SMALL_LAYERS, 7, variables, fe, **kw)
+    sq8 = StreamingWav2Letter(SMALL_LAYERS, 7, variables, fe,
+                              weights='int8_full', **kw)
+    length = s32.prime_samples + s32.chunk_samples + 777
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+    a, va = _run_stream(s32, audio, np.array([length]))
+    b, vb = _run_stream(sq8, audio, np.array([length]))
+    v = int(va[0])
+    assert v == int(vb[0])
+    assert np.mean(np.abs(a[0, :v] - b[0, :v])) < 0.15
+    agree = np.mean(np.argmax(a[0, :v], -1) == np.argmax(b[0, :v], -1))
+    assert agree > 0.85
+
+
 def test_streaming_int8_matches_offline_int8(small):
     """The int8 streaming session reproduces the int8 offline path (same
     quantized weights, same contract as the f32 parity tests)."""

@@ -7,7 +7,7 @@ programs (streaming.py) and BatchNorm-folded fused conv blocks.
 """
 
 from .export import compute_cmvn, export_serving, load_serving
-from .infer import offline_forward
+from .infer import offline_forward, offline_forward_q8
 from .quantize import quantize_folded, quantized_bytes
 from .streaming_jasper import StreamingJasper, fold_jasper
 from .streaming import (StreamingSession, StreamingTranscriber,
@@ -15,5 +15,6 @@ from .streaming import (StreamingSession, StreamingTranscriber,
 
 __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
            'StreamingTranscriber', 'fold_batchnorm', 'fold_jasper',
-           'offline_forward', 'quantize_folded', 'quantized_bytes',
-           'export_serving', 'load_serving', 'compute_cmvn']
+           'offline_forward', 'offline_forward_q8', 'quantize_folded',
+           'quantized_bytes', 'export_serving', 'load_serving',
+           'compute_cmvn']

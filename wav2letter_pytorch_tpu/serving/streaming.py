@@ -408,15 +408,18 @@ class StreamingWav2Letter(_FrontendStreaming):
                 break
             z += self.scale
 
+        self._act_int8 = weights == 'int8_full'
         if folded is not None:
             self._folded = list(folded)
         else:
             self._folded = fold_batchnorm(variables, len(self._layer_cfg))
-            if weights == 'int8':
+            if weights in ('int8', 'int8_full'):
                 from .quantize import quantize_folded
                 self._folded = quantize_folded(self._folded)
             elif weights != 'f32':
                 raise ValueError(f'unknown weights mode: {weights!r}')
+        if self._act_int8 and len(self._folded[0]) != 3:
+            raise ValueError("weights='int8_full' needs quantized weights")
         # Weights are jit ARGUMENTS, not closure constants: 600 MB of f32
         # baked into the HLO blows up compile payloads (and the axon
         # tunnel's request limit); as device-resident args they are hashed
@@ -443,7 +446,6 @@ class StreamingWav2Letter(_FrontendStreaming):
         new_carries = []
         x = feats
         for i, (sp, wb) in enumerate(zip(self._specs[1:-1], folded[:-1])):
-            w, b = _materialize(wb)
             if primed:
                 if sp.pad_mode == 'reflect':
                     left = x[:, 1:sp.left + 1][:, ::-1]
@@ -455,13 +457,41 @@ class StreamingWav2Letter(_FrontendStreaming):
                 buf = jnp.concatenate([carries[i], x], axis=1)
             q = (buf.shape[1] - sp.ctx - 1) // sp.stride + 1
             new_carries.append(buf[:, q * sp.stride:])
-            out = jax.lax.conv_general_dilated(
-                buf, w, window_strides=(sp.stride,),
-                padding='VALID', rhs_dilation=(sp.dilation,),
-                dimension_numbers=('NWC', 'WIO', 'NWC'))
+            if self._act_int8:
+                # int8 x int8 -> int32 on the MXU (~1.7x bf16 conv
+                # throughput); dynamic per-row activation scale.
+                wq, w_scale, b = wb
+                a_scale = jnp.maximum(jnp.max(jnp.abs(buf), axis=(1, 2),
+                                              keepdims=True), 1e-6) / 127.0
+                bq = jnp.clip(jnp.round(buf / a_scale), -127, 127) \
+                    .astype(jnp.int8)
+                out = jax.lax.conv_general_dilated(
+                    bq, wq, window_strides=(sp.stride,), padding='VALID',
+                    rhs_dilation=(sp.dilation,),
+                    dimension_numbers=('NWC', 'WIO', 'NWC'),
+                    preferred_element_type=jnp.int32)
+                out = out.astype(jnp.float32) \
+                    * (a_scale * w_scale[None, None, :])
+            else:
+                w, b = _materialize(wb)
+                out = jax.lax.conv_general_dilated(
+                    buf, w, window_strides=(sp.stride,),
+                    padding='VALID', rhs_dilation=(sp.dilation,),
+                    dimension_numbers=('NWC', 'WIO', 'NWC'))
             x = jnp.clip(out + b, 0.0, 20.0)
-        wh, bh = _materialize(folded[-1])
-        logits = jnp.einsum('btc,cl->btl', x, wh[0]) + bh
+        if self._act_int8:
+            wq, w_scale, bh = folded[-1]
+            a_scale = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2),
+                                          keepdims=True), 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(x / a_scale), -127, 127) \
+                .astype(jnp.int8)
+            logits = jax.lax.dot_general(
+                xq, wq[0], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32) \
+                * (a_scale * w_scale[None, None, :]) + bh
+        else:
+            wh, bh = _materialize(folded[-1])
+            logits = jnp.einsum('btc,cl->btl', x, wh[0]) + bh
         return jax.nn.log_softmax(logits, axis=-1), tuple(new_carries)
 
     def _prime(self, folded, audio):
