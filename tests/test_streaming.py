@@ -310,6 +310,12 @@ def test_cumulative_norm_converges(small):
     assert late < 0.15
 
 
+def test_long_stream_state_stays_bounded(small):
+    """40 steady chunks: carries keep constant shapes, outputs stay finite,
+    and the tail still matches offline (no cross-chunk state drift)."""
+    _parity_case(small, [1000, 321], n_chunks=40, piece=7919)
+
+
 def test_streaming_errors(small):
     model, variables, frontend = small
     stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
