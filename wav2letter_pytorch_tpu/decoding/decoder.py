@@ -248,6 +248,81 @@ def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
     return best
 
 
+class IncrementalPrefixBeam:
+    """Resumable CTC prefix beam search: feed ``[T, L]`` probability chunks
+    as they arrive; the carried state is just (p_b, p_nb, beams) since each
+    DP step reads only t-1. ``result()`` after N chunks equals
+    ``prefix_beam_search`` on their concatenation (same bookkeeping,
+    including the discarded-prefix re-merge — Counters default to 0 exactly
+    like the per-t defaultdicts). Powers streaming beam transcription
+    (serving/streaming.py::StreamingBeamTranscriber)."""
+
+    def __init__(self, labels, blank_index: int = 0, lm=None, k: int = 5,
+                 alpha: float = 0.3, beta: float = 5, prune: float = 0.001,
+                 end_char: str = '>'):
+        self.labels = list(labels)
+        self.blank_index = blank_index
+        self.lm = (lambda _: 1) if lm is None else lm
+        self.k, self.alpha, self.beta = k, alpha, beta
+        self.prune, self.end_char = prune, end_char
+        self._p_b = Counter({'': 1.0})
+        self._p_nb = Counter({'': 0.0})
+        self._beams = ['']
+
+    def step(self, ctc) -> str:
+        """Consume a [T, L] chunk of probabilities; returns current best."""
+        ctc = np.asarray(ctc)
+        assert (ctc >= 0).all(), 'ctc must be probabilities (non-negative)'
+        labels, blank_index = self.labels, self.blank_index
+        blank_char = labels[blank_index]
+        end_char = self.end_char
+        num_words = lambda s: len(_WORD_RE.findall(s))
+        for step in ctc:
+            p_b_prev, p_nb_prev = self._p_b, self._p_nb
+            p_b, p_nb = Counter(), Counter()
+            candidates = [(int(i), labels[int(i)])
+                          for i in np.where(step > self.prune)[0]]
+            for prefix in self._beams:
+                if prefix and prefix[-1] == end_char:
+                    p_b[prefix] = p_b_prev[prefix]
+                    p_nb[prefix] = p_nb_prev[prefix]
+                    continue
+                prev_total = p_b_prev[prefix] + p_nb_prev[prefix]
+                for c_ix, c in candidates:
+                    p_c = step[c_ix]
+                    if c == blank_char:
+                        p_b[prefix] += step[blank_index] * prev_total
+                        continue
+                    extended = prefix + c
+                    if prefix and c == prefix[-1]:
+                        p_nb[extended] += p_c * p_b_prev[prefix]
+                        p_nb[prefix] += p_c * p_nb_prev[prefix]
+                    elif prefix.replace(' ', '') and c in (' ', end_char):
+                        lm_prob = self.lm(
+                            extended.strip(' ' + end_char)) ** self.alpha
+                        p_nb[extended] += lm_prob * p_c * prev_total
+                    else:
+                        p_nb[extended] += p_c * prev_total
+                    if extended not in self._beams:
+                        p_b[extended] += step[blank_index] * (
+                            p_b_prev[extended] + p_nb_prev[extended])
+                        p_nb[extended] += p_c * p_nb_prev[extended]
+            scores = p_b + p_nb
+            rank = lambda s: scores[s] * (num_words(s) + 1) ** self.beta
+            self._beams = sorted(scores, key=rank, reverse=True)[:self.k] \
+                or ['']
+            self._p_b, self._p_nb = p_b, p_nb
+        return self._beams[0]
+
+    def result(self, return_weights: bool = False):
+        best = self._beams[0]
+        if return_weights:
+            score = (self._p_b[best] + self._p_nb[best]) \
+                * (len(_WORD_RE.findall(best)) + 1) ** self.beta
+            return best, score
+        return best
+
+
 class PrefixBeamSearchLMDecoder(Decoder):
     """Beam-search decoder with an optional kenlm ARPA language model.
 

@@ -10,11 +10,13 @@ from .export import compute_cmvn, export_serving, load_serving
 from .infer import offline_forward, offline_forward_q8
 from .quantize import quantize_folded, quantized_bytes
 from .streaming_jasper import StreamingJasper, fold_jasper
-from .streaming import (StreamingSession, StreamingTranscriber,
-                        StreamingWav2Letter, fold_batchnorm)
+from .streaming import (StreamingBeamTranscriber, StreamingSession,
+                        StreamingTranscriber, StreamingWav2Letter,
+                        fold_batchnorm)
 
 __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
-           'StreamingTranscriber', 'fold_batchnorm', 'fold_jasper',
+           'StreamingTranscriber', 'StreamingBeamTranscriber',
+           'fold_batchnorm', 'fold_jasper',
            'offline_forward', 'offline_forward_q8', 'quantize_folded',
            'quantized_bytes', 'export_serving', 'load_serving',
            'compute_cmvn']

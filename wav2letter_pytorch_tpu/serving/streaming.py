@@ -623,6 +623,54 @@ class StreamingSession:
         return self._consumed
 
 
+class StreamingBeamTranscriber:
+    """Incremental beam-search transcription over a streaming session.
+
+    The CTC prefix-beam DP reads only the previous time step, so it
+    advances chunk by chunk (``decoding.IncrementalPrefixBeam``) with
+    optional LM fusion at word boundaries; the live current-best hypothesis
+    is available after every feed, and the final result equals offline
+    ``prefix_beam_search`` on the whole utterance (reference
+    decoder.py:147-233 semantics)."""
+
+    def __init__(self, session: StreamingSession, labels, lm_path: str = '',
+                 k: int = 5, alpha: float = 0.3, beta: float = 5,
+                 prune: float = 0.001):
+        from ..decoding.decoder import IncrementalPrefixBeam
+        lm = None
+        if lm_path:
+            from ..decoding.arpa_lm import load_lm
+            model = load_lm(lm_path)
+            lm = lambda s: 10 ** model.score(s)
+        self.session = session
+        # Jasper sessions emit probabilities; Wav2Letter log-probs.
+        self._emits_probs = getattr(session.m, 'emits_probs', False)
+        self._beams = [IncrementalPrefixBeam(list(labels), lm=lm, k=k,
+                                             alpha=alpha, beta=beta,
+                                             prune=prune)
+                       for _ in range(session.B)]
+
+    def _advance(self, out, valid=None):
+        probs = out if self._emits_probs else np.exp(out)
+        bests = []
+        for b, beam in enumerate(self._beams):
+            n = probs.shape[1] if valid is None else int(valid[b])
+            bests.append(beam.step(probs[b, :n]) if n else beam.result())
+        return bests
+
+    def feed(self, audio):
+        """Returns the current-best hypothesis per stream."""
+        return self._advance(self.session.feed(audio))
+
+    def finish(self, lengths=None):
+        out, valid = self.session.finish(lengths)
+        return self._advance(out, valid)
+
+    @property
+    def text(self):
+        return [beam.result() for beam in self._beams]
+
+
 def stream_logprobs(model, audio, length: int | None = None) -> np.ndarray:
     """Run ONE utterance through a fresh streaming session; returns the
     concatenated valid outputs ``[1, T', L]``. Shared by the eval CLIs."""

@@ -140,6 +140,8 @@ class StreamingJasper(_FrontendStreaming):
     ``StreamingWav2Letter`` (``start()`` returns a ``StreamingSession``).
     Emits eval-mode softmax probabilities, like offline Jasper."""
 
+    emits_probs = True  # (Wav2Letter sessions emit log-probs)
+
     def __init__(self, jasper_blocks, num_labels: int, variables, frontend,
                  chunk_frames: int = 64, norm: str = 'cumulative',
                  norm_stats=None, weights: str = 'f32'):
