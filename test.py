@@ -74,6 +74,14 @@ def main(argv=None):
     parser.add_argument('--int8', action='store_true',
                         help='weight-only int8 quantized inference '
                              '(streaming mode only)')
+    parser.add_argument('--offline', action='store_true',
+                        help='artifact mode: batched mesh-sharded offline '
+                             'inference (serving.MeshInference) instead of '
+                             'per-utterance streaming')
+    parser.add_argument('--int8-full', action='store_true',
+                        help='with --artifact --offline on an int8 '
+                             'artifact: run int8 activations too (the MXU '
+                             'int8 path)')
     parser.add_argument('--beam-backend', default='host',
                         choices=['host', 'device'],
                         help="'host': serial per-utterance search (exact "
@@ -254,6 +262,11 @@ def run_artifact_eval(args):
     frontend = SpectrogramFrontend(
         conf, n_mels=int(meta.get('n_mels', folded[0][0].shape[1])),
         dither=0.0, feature_type=meta.get('feature_type', 'logmel'))
+    decoder = GreedyDecoder(labels)
+    ds = ManifestDataset(args.test_manifest, ac, labels)
+    if args.offline:
+        return run_artifact_offline_eval(args, meta, folded, norm_stats,
+                                         conf, decoder, ds)
     kw = {}
     if norm_stats is not None:
         kw = dict(norm='precomputed', norm_stats=norm_stats)
@@ -261,8 +274,6 @@ def run_artifact_eval(args):
         meta['layers'], meta['num_labels'], None, frontend, folded=folded,
         chunk_frames=args.streaming_chunk_frames,
         padding_mode=meta.get('padding_mode', 'reflect'), **kw)
-    decoder = GreedyDecoder(labels)
-    ds = ManifestDataset(args.test_manifest, ac, labels)
     acc = RatioAccumulator()
     n_skipped = 0
     for i in range(len(ds)):
@@ -283,6 +294,56 @@ def run_artifact_eval(args):
     result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
               'artifact': args.artifact, 'weights': meta['format'],
               'skipped_below_prime': n_skipped}
+    result.update(acc.ratios())
+    print(json.dumps(result))
+    return 0
+
+
+def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, decoder,
+                              ds):
+    """Batched, mesh-sharded offline inference over a manifest — the
+    transcription-service evaluation path (serving.MeshInference)."""
+    import numpy as np
+
+    from wav2letter_pytorch_tpu.data.dataset import BucketBatchLoader
+    from wav2letter_pytorch_tpu.data.features import SpectrogramFrontend
+    from wav2letter_pytorch_tpu.serving import MeshInference, quantize_folded
+    from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
+
+    frontend = SpectrogramFrontend(
+        conf, n_mels=int(meta.get('n_mels', folded[0][0].shape[1])),
+        dither=0.0, feature_type=meta.get('feature_type', 'logmel'),
+        norm_stats=norm_stats)
+    mode = meta['format']
+    if args.int8_full:
+        if meta['format'] != 'int8':
+            folded = quantize_folded(folded)
+        mode = 'int8_full'
+    mi = MeshInference(meta['layers'], folded, frontend, mode=mode,
+                       padding_mode=meta.get('padding_mode', 'reflect'))
+    n_dev = mi.mesh.shape['data']
+    bs = args.batch_size or max(8, n_dev)
+    bs += (-bs) % n_dev
+    loader = BucketBatchLoader(ds, bs, num_buckets=4, shuffle=False,
+                               frame_hop=frontend.hop)
+    acc = RatioAccumulator()
+    for batch in loader:
+        logp, out_lens = mi.logprobs(batch['audio'],
+                                     batch['audio_lengths'])
+        decoded = decoder.decode(logp, sizes=out_lens)
+        for j, text in enumerate(batch['texts']):
+            if not batch['batch_mask'][j]:
+                continue
+            c, cd = decoder.cer_ratio(text, decoded[j])
+            w, wd = decoder.wer_ratio(text, decoded[j])
+            acc.add('cer', c, cd)
+            acc.add('wer', w, wd)
+            if args.print_all or (args.print_samples and j == 0):
+                print(f'reference: {text}')
+                print(f'decoded  : {decoded[j]}')
+    result = {'loss': None, 'num_utterances': len(ds), 'offline': True,
+              'artifact': args.artifact, 'weights': mode,
+              'mesh_devices': n_dev}
     result.update(acc.ratios())
     print(json.dumps(result))
     return 0

@@ -146,6 +146,17 @@ def test_export_cli(tmp_path):
     assert result['weights'] == 'int8' and 'wer' in result
     assert result['skipped_below_prime'] < result['num_utterances']
 
+    # Batched mesh-sharded offline eval of the same artifact.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = test_cli.main(['--artifact', str(art),
+                            '--test-manifest', manifest,
+                            '--offline', '--int8-full'])
+    assert rc == 0
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result['offline'] is True and result['weights'] == 'int8_full'
+    assert result['mesh_devices'] == 8 and 'wer' in result
+
     # Same trained run through the streaming demo CLI (synthetic feed).
     spec = importlib.util.spec_from_file_location(
         'stream_demo',
