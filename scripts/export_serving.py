@@ -30,10 +30,21 @@ def main(argv=None):
                         help='manifest to measure corpus CMVN stats on')
     parser.add_argument('--cmvn-limit', type=int, default=None,
                         help='cap utterances used for CMVN')
+    parser.add_argument('--calibrate', action='store_true',
+                        help='with --int8 + --cmvn-manifest: record static '
+                             'int8 activation scales (percentile over '
+                             'calibration utterances) for int8_full '
+                             'inference')
     args = parser.parse_args(argv)
 
+    import numpy as np
+
     import jax
-    from wav2letter_pytorch_tpu.serving import compute_cmvn, export_serving
+    from wav2letter_pytorch_tpu.serving import (compute_cmvn,
+                                                export_serving,
+                                                fold_batchnorm)
+    from wav2letter_pytorch_tpu.serving.quantize import \
+        calibrate_activation_scales
     from wav2letter_pytorch_tpu.training import build_frontend, load_run
 
     cfg, trainer, model, frontend, labels = load_run(args.model_path)
@@ -56,13 +67,36 @@ def main(argv=None):
     layers = [dict(l) for l in cfg.model.layers][:int(cfg.model.mid_layers)]
     variables = {'params': jax.device_get(trainer.state.params),
                  'batch_stats': jax.device_get(trainer.state.batch_stats)}
+
+    act_scales = None
+    if args.calibrate:
+        if not (args.int8 and args.cmvn_manifest):
+            raise SystemExit('--calibrate needs --int8 and --cmvn-manifest')
+        from wav2letter_pytorch_tpu.data.dataset import ManifestDataset
+        ds = ManifestDataset(args.cmvn_manifest, cfg.data.audio_conf,
+                             labels)
+        n = min(8, len(ds))
+        clips = [np.asarray(ds[i][0], np.float32) for i in range(n)]
+        maxlen = max(len(c) for c in clips)
+        audio = np.zeros((n, maxlen), np.float32)
+        for i, c in enumerate(clips):
+            audio[i, :len(c)] = c
+        cal_fe = build_frontend(cfg.model, dither=0.0,
+                                norm_stats=norm_stats)
+        act_scales = calibrate_activation_scales(
+            layers, fold_batchnorm(variables, len(layers)), cal_fe, audio,
+            np.array([len(c) for c in clips]),
+            padding_mode=cfg.model.get('padding_mode', 'reflect'))
+        print(f'calibrated {len(act_scales)} activation scales '
+              f'(first {act_scales[0]:.4f})', file=sys.stderr)
+
     export_serving(args.out, layers, len(labels), variables, labels=labels,
                    audio_conf=dict(cfg.model.audio_conf),
                    weights='int8' if args.int8 else 'f32',
                    norm_stats=norm_stats,
                    padding_mode=cfg.model.get('padding_mode', 'reflect'),
                    feature_type=cfg.model.get('feature_type', 'logmel'),
-                   n_mels=frontend.n_mels)
+                   n_mels=frontend.n_mels, act_scales=act_scales)
     print(f'wrote {args.out}/serving.npz + serving.json', file=sys.stderr)
     return 0
 

@@ -320,7 +320,8 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, decoder,
             folded = quantize_folded(folded)
         mode = 'int8_full'
     mi = MeshInference(meta['layers'], folded, frontend, mode=mode,
-                       padding_mode=meta.get('padding_mode', 'reflect'))
+                       padding_mode=meta.get('padding_mode', 'reflect'),
+                       act_scales=meta.get('act_scales'))
     n_dev = mi.mesh.shape['data']
     bs = args.batch_size or max(8, n_dev)
     bs += (-bs) % n_dev

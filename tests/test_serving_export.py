@@ -125,13 +125,15 @@ def test_export_cli(tmp_path):
     spec.loader.exec_module(mod)
     art = tmp_path / 'artifact'
     rc = mod.main(['--model-path', str(run_dir), '--out', str(art),
-                   '--int8', '--cmvn-manifest', manifest])
+                   '--int8', '--cmvn-manifest', manifest, '--calibrate'])
     assert rc == 0
     meta, folded, norm_stats = load_serving(str(art))
     assert meta['format'] == 'int8'
     assert norm_stats is not None and np.all(norm_stats[1] > 0)
     assert len(folded) == 2  # 1 block + head
     assert folded[0][0].dtype == np.int8
+    assert len(meta['act_scales']) == 2
+    assert all(s > 0 for s in meta['act_scales'])
 
     # Evaluate the artifact directly (no checkpoint) via test.py.
     import io, contextlib

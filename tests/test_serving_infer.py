@@ -80,6 +80,31 @@ def test_full_int8_forward_close(small):
     assert agree > 0.9
 
 
+def test_calibrated_static_scales(small):
+    """Static calibrated activation scales: same decode behavior as the
+    dynamic per-batch scales, no reduction in the serving graph."""
+    from wav2letter_pytorch_tpu.serving import (calibrate_activation_scales,
+                                                offline_forward_q8)
+    model, variables, frontend = small
+    folded = fold_batchnorm(variables, len(SMALL_LAYERS))
+    folded_q = quantize_folded(folded)
+
+    rng = np.random.default_rng(2)
+    cal_audio = (rng.standard_normal((4, 20000)) * 0.1).astype(np.float32)
+    scales = calibrate_activation_scales(SMALL_LAYERS, folded, frontend,
+                                         cal_audio, np.full(4, 20000))
+    assert len(scales) == len(folded) and all(s > 0 for s in scales)
+
+    feats, flens = _feats(frontend, [24000, 20800])
+    dyn, _ = offline_forward_q8(SMALL_LAYERS, folded_q, feats, flens)
+    stat, _ = offline_forward_q8(SMALL_LAYERS, folded_q, feats, flens,
+                                 act_scales=scales)
+    dyn, stat = np.asarray(dyn), np.asarray(stat)
+    assert np.mean(np.abs(stat - dyn)) < 0.1
+    agree = np.mean(np.argmax(stat, -1) == np.argmax(dyn, -1))
+    assert agree > 0.9
+
+
 def test_streaming_int8_full_close(small):
     """Full-int8 streaming (weights + activations) stays decode-close to
     the f32 session."""

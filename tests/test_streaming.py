@@ -185,16 +185,22 @@ def test_stream_flagship_structure():
                                atol=1e-3, rtol=1e-3)
 
 
-@pytest.mark.parametrize('variant', ['zeros', 'mfcc', 'wide_hop', 'fft'])
+@pytest.mark.parametrize('variant', ['zeros', 'mfcc', 'wide_hop', 'fft',
+                                     '8khz'])
 def test_stream_parity_config_variants(variant):
     """Non-default configs must stream exactly too: padding_mode='zeros',
     MFCC features (n_mfcc != n_mels), a hop where the frontend boundary
-    lag is 1 instead of 2 (window_stride=0.02 -> hop 320), and a frontend
-    built with stft_method='fft' (no precomputed DFT basis)."""
+    lag is 1 instead of 2 (window_stride=0.02 -> hop 320), a frontend
+    built with stft_method='fft' (no precomputed DFT basis), and the 8 kHz
+    audio group (n_fft 256 / hop 80)."""
     import jax
 
-    ac = AudioConfig(window_stride=0.02) if variant == 'wide_hop' \
-        else AudioConfig()
+    if variant == 'wide_hop':
+        ac = AudioConfig(window_stride=0.02)
+    elif variant == '8khz':
+        ac = AudioConfig(sample_rate=8000)
+    else:
+        ac = AudioConfig()
     hop = ac.hop_samples
     fe_kw = dict(n_mels=N_MELS, dither=0.0)
     n_feat = N_MELS

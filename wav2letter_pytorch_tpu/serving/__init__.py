@@ -9,7 +9,8 @@ programs (streaming.py) and BatchNorm-folded fused conv blocks.
 from .export import compute_cmvn, export_serving, load_serving
 from .infer import offline_forward, offline_forward_q8
 from .parallel_infer import MeshInference
-from .quantize import quantize_folded, quantized_bytes
+from .quantize import (calibrate_activation_scales, quantize_folded,
+                       quantized_bytes)
 from .streaming_jasper import StreamingJasper, fold_jasper
 from .streaming import (StreamingBeamTranscriber, StreamingSession,
                         StreamingTranscriber, StreamingWav2Letter,
@@ -20,4 +21,4 @@ __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
            'fold_batchnorm', 'fold_jasper',
            'offline_forward', 'offline_forward_q8', 'quantize_folded',
            'quantized_bytes', 'export_serving', 'load_serving',
-           'compute_cmvn', 'MeshInference']
+           'compute_cmvn', 'MeshInference', 'calibrate_activation_scales']

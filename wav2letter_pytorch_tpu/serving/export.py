@@ -55,8 +55,13 @@ def compute_cmvn(manifest_path: str, frontend_factory, labels,
 def export_serving(out_dir: str, layers, num_labels: int, variables,
                    labels=None, audio_conf=None, weights: str = 'f32',
                    norm_stats=None, padding_mode: str = 'reflect',
-                   feature_type: str = 'logmel', n_mels: int | None = None):
-    """Write the serving artifact. Returns the artifact directory."""
+                   feature_type: str = 'logmel', n_mels: int | None = None,
+                   act_scales=None):
+    """Write the serving artifact. Returns the artifact directory.
+
+    ``act_scales``: optional static int8 activation scales
+    (quantize.calibrate_activation_scales) recorded in the metadata for
+    int8_full inference."""
     os.makedirs(out_dir, exist_ok=True)
     layers = [dict(l) for l in layers]
     folded = fold_batchnorm(variables, len(layers))
@@ -90,6 +95,8 @@ def export_serving(out_dir: str, layers, num_labels: int, variables,
         'feature_type': feature_type,
         'n_mels': (n_mels if n_mels is not None
                    else int(np.asarray(folded[0][0]).shape[1])),
+        'act_scales': (None if act_scales is None
+                       else [float(s) for s in act_scales]),
     }
     with open(os.path.join(out_dir, 'serving.json'), 'w') as f:
         json.dump(meta, f, indent=2)

@@ -23,22 +23,27 @@ def _layer_geometry(layers):
 
 
 def offline_forward(layers, folded, feats, input_lengths=None,
-                    padding_mode: str = 'reflect'):
+                    padding_mode: str = 'reflect',
+                    return_activations: bool = False):
     """Run the folded conv stack over ``feats [B, T, M]``.
 
     ``layers``: the model layer spec truncated to mid_layers.
     ``folded``: output of ``fold_batchnorm`` (f32) or
     ``quantize.quantize_folded`` (int8 + per-channel scales).
     ``padding_mode`` must match the trained model's (reflect | zeros).
-    Returns (log_probs [B, T', L], out_lengths | None).
+    ``return_activations`` additionally returns each conv's (and the
+    head's) input tensor — used by int8 calibration (quantize.py).
+    Returns (log_probs [B, T', L], out_lengths | None[, activations]).
     """
     import jax
     import jax.numpy as jnp
 
     x = feats
     scale_total = 1
+    acts = []
     for (k, s, d), wb in zip(_layer_geometry(layers), folded[:-1]):
         w, b = _materialize(wb)
+        acts.append(x)
         left, right = same_pad_amount(x.shape[1], k, s, d)
         if left or right:
             x = jnp.pad(x, ((0, 0), (left, right), (0, 0)),
@@ -49,37 +54,48 @@ def offline_forward(layers, folded, feats, input_lengths=None,
             dimension_numbers=('NWC', 'WIO', 'NWC'))
         x = jnp.clip(out + b, 0.0, 20.0)
         scale_total *= s
+    acts.append(x)
     wh, bh = _materialize(folded[-1])
     logits = jnp.einsum('btc,cl->btl', x, wh[0]) + bh
     logp = jax.nn.log_softmax(logits, axis=-1)
-    if input_lengths is None:
-        return logp, None
-    return logp, jnp.asarray(input_lengths, jnp.int32) // scale_total
+    out_lens = None if input_lengths is None \
+        else jnp.asarray(input_lengths, jnp.int32) // scale_total
+    if return_activations:
+        return logp, out_lens, acts
+    return logp, out_lens
 
 
 def offline_forward_q8(layers, folded_q, feats, input_lengths=None,
-                       padding_mode: str = 'reflect'):
+                       padding_mode: str = 'reflect', act_scales=None):
     """Full int8 inference: int8 weights AND int8 activations.
 
-    Activations are quantized per batch row with a dynamic symmetric scale
-    (max|x|/127) before each conv; the conv accumulates int8 x int8 in
-    int32 on the MXU — measured ~1.7x the bf16 conv throughput on v5e-class
-    chips (281 TOPS vs 162 TFLOPS at the flagship's widest layer). The
-    dequantize is one fused scale-multiply on the int32 output. Use
-    ``quantize.quantize_folded`` weights; accuracy is approximate (the
-    clamp(0,20) activation quantizes to a ~0.16 grid) — validate WER on a
-    dev set before deploying.
+    Activations are quantized with a symmetric scale before each conv; the
+    conv accumulates int8 x int8 in int32 on the MXU — measured ~1.7x the
+    bf16 conv throughput on v5e-class chips (281 TOPS vs 162 TFLOPS at the
+    flagship's widest layer). The dequantize is one fused scale-multiply
+    on the int32 output.
+
+    ``act_scales``: optional static per-layer scales from
+    ``quantize.calibrate_activation_scales`` (len == len(folded_q)).
+    Without them, scales are dynamic per batch row (max|x|/127). Use
+    ``quantize.quantize_folded`` weights; accuracy is approximate —
+    validate WER on a dev set before deploying.
     """
     import jax
     import jax.numpy as jnp
+
+    def a_scale_of(x, i):
+        if act_scales is not None:
+            return jnp.asarray(act_scales[i], jnp.float32).reshape(1, 1, 1)
+        return jnp.maximum(
+            jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True), 1e-6) / 127.0
 
     x = jnp.asarray(feats, jnp.float32)
     scale_total = 1
     geometry = _layer_geometry(layers)
     for i, ((k, s, d), (q, w_scale, b)) in enumerate(
             zip(geometry, folded_q[:-1])):
-        a_scale = jnp.maximum(
-            jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True), 1e-6) / 127.0
+        a_scale = a_scale_of(x, i)
         xq = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
         left, right = same_pad_amount(x.shape[1], k, s, d)
         if left or right:
@@ -95,8 +111,7 @@ def offline_forward_q8(layers, folded_q, feats, input_lengths=None,
         x = jnp.clip(y + jnp.asarray(b), 0.0, 20.0)
         scale_total *= s
     qh, sh, bh = folded_q[-1]
-    a_scale = jnp.maximum(
-        jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True), 1e-6) / 127.0
+    a_scale = a_scale_of(x, len(folded_q) - 1)
     xq = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
     logits = jax.lax.dot_general(
         xq, jnp.asarray(qh)[0], (((2,), (0,)), ((), ())),

@@ -27,7 +27,8 @@ class MeshInference:
     """
 
     def __init__(self, layers, folded, frontend, mesh=None,
-                 mode: str = 'f32', padding_mode: str = 'reflect'):
+                 mode: str = 'f32', padding_mode: str = 'reflect',
+                 act_scales=None):
         import jax
 
         from .infer import offline_forward, offline_forward_q8
@@ -40,7 +41,11 @@ class MeshInference:
         if mode == 'int8_full':
             if len(folded[0]) != 3:
                 raise ValueError("mode='int8_full' needs quantized weights")
-            fwd = offline_forward_q8
+
+            def fwd(ls, w, f, fl, padding_mode):
+                return offline_forward_q8(ls, w, f, fl,
+                                          padding_mode=padding_mode,
+                                          act_scales=act_scales)
         elif mode in ('f32', 'int8'):
             fwd = offline_forward
         else:

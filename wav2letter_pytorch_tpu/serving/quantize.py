@@ -34,6 +34,33 @@ def quantize_folded(folded):
     return out
 
 
+def calibrate_activation_scales(layers, folded, frontend, audio, lengths,
+                                percentile: float = 99.9,
+                                padding_mode: str = 'reflect'):
+    """Static per-layer activation scales for ``offline_forward_q8``.
+
+    Runs the f32 folded forward over calibration audio and takes the given
+    percentile of |input| at every conv (and the head), divided by 127.
+    Static scales remove the per-batch max reduction from the serving
+    graph and are robust to activation outliers that would stretch a
+    dynamic scale's grid. ``folded`` must be the f32 fold.
+    Returns a python list of floats, len == len(folded).
+    """
+    from .infer import offline_forward
+    feats, flens = frontend(np.asarray(audio, np.float32),
+                            np.asarray(lengths))
+    _, _, acts = offline_forward(layers, folded, feats, flens,
+                                 padding_mode=padding_mode,
+                                 return_activations=True)
+    # Percentiles run over all frames incl. padding; keep calibration
+    # batches near-unpadded (similar lengths) for faithful statistics.
+    scales = []
+    for a in acts:
+        p = float(np.percentile(np.abs(np.asarray(a)), percentile))
+        scales.append(max(p, 1e-6) / 127.0)
+    return scales
+
+
 def quantized_bytes(folded_q) -> int:
     """Total parameter bytes of a quantized stack (int8 + scales + bias)."""
     total = 0
