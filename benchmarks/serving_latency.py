@@ -147,9 +147,19 @@ def main():
     feats32 = np.repeat(np.asarray(feats), B32, axis=0)
     dfeats32 = jax.device_put(feats32)
     tput = {}
+    from wav2letter_pytorch_tpu.serving import calibrate_activation_scales
+    cal_audio = (rng.standard_normal((4, t_samples)) * 0.1) \
+        .astype(np.float32)
+    act_scales = calibrate_activation_scales(
+        layers, folded, frontend, cal_audio, np.full(4, t_samples))
+
+    def q8_static(ls, w, f, fl=None, **kw):
+        return offline_forward_q8(ls, w, f, fl, act_scales=act_scales)
+
     paths = (('f32', folded, offline_forward),
              ('int8_weights', folded_q, offline_forward),
-             ('int8_full', folded_q, offline_forward_q8))
+             ('int8_full', folded_q, offline_forward_q8),
+             ('int8_full_static', folded_q, q8_static))
     for name, fold, fwd in paths:
         f = jax.jit(lambda fd, x, fwd=fwd: fwd(layers, fd, x)[0])
         dfold = jax.device_put([tuple(a for a in wb) for wb in fold])

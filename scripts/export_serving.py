@@ -48,9 +48,9 @@ def main(argv=None):
     from wav2letter_pytorch_tpu.training import build_frontend, load_run
 
     cfg, trainer, model, frontend, labels = load_run(args.model_path)
-    if str(cfg.model.name) != 'wav2letter':
-        raise SystemExit('artifact export supports the wav2letter family; '
-                         'serve jasper runs live via test.py --streaming')
+    family = str(cfg.model.name)
+    if family not in ('wav2letter', 'jasper'):
+        raise SystemExit(f'unknown model family {family!r}')
     print(f'exporting step {int(trainer.state.step)}', file=sys.stderr)
 
     norm_stats = None
@@ -64,9 +64,28 @@ def main(argv=None):
               f'{norm_stats[0][0]:.3f} std[0]={norm_stats[1][0]:.3f}',
               file=sys.stderr)
 
-    layers = [dict(l) for l in cfg.model.layers][:int(cfg.model.mid_layers)]
     variables = {'params': jax.device_get(trainer.state.params),
                  'batch_stats': jax.device_get(trainer.state.batch_stats)}
+    if family == 'jasper':
+        if args.int8 or args.calibrate:
+            raise SystemExit('jasper artifacts are stored f32 — quantize '
+                             'at load (StreamingJasper weights="int8"); '
+                             '--int8/--calibrate apply to wav2letter only')
+        from wav2letter_pytorch_tpu.serving import export_serving_jasper
+        blocks = [dict(b) for b in
+                  cfg.model.jasper_blocks][:int(cfg.model.mid_layers)]
+        export_serving_jasper(args.out, blocks, len(labels), variables,
+                              labels=labels,
+                              audio_conf=dict(cfg.model.audio_conf),
+                              norm_stats=norm_stats,
+                              feature_type=cfg.model.get('feature_type',
+                                                         'logmel'),
+                              n_mels=frontend.n_mels)
+        print(f'wrote {args.out}/serving.npz + serving.json',
+              file=sys.stderr)
+        return 0
+
+    layers = [dict(l) for l in cfg.model.layers][:int(cfg.model.mid_layers)]
 
     act_scales = None
     if args.calibrate:

@@ -249,8 +249,7 @@ def run_artifact_eval(args):
                              '(the artifact fixes weights; decoding is '
                              'greedy — run --model-path eval for beam/LM)')
     meta, folded, norm_stats = load_serving(args.artifact)
-    if meta.get('family', 'wav2letter') != 'wav2letter':
-        raise SystemExit('artifact eval supports the wav2letter family')
+    family = meta.get('family', 'wav2letter')
     labels = meta['labels']
     ac = meta['audio_conf']
     if labels is None or ac is None:
@@ -259,21 +258,32 @@ def run_artifact_eval(args):
                        window_size=float(ac['window_size']),
                        window_stride=float(ac['window_stride']),
                        window=ac.get('window', 'hamming'))
+    n_mels = meta.get('n_mels') or (folded[0][0].shape[1]
+                                    if family == 'wav2letter' else None)
     frontend = SpectrogramFrontend(
-        conf, n_mels=int(meta.get('n_mels', folded[0][0].shape[1])),
-        dither=0.0, feature_type=meta.get('feature_type', 'logmel'))
+        conf, n_mels=int(n_mels), dither=0.0,
+        feature_type=meta.get('feature_type', 'logmel'))
     decoder = GreedyDecoder(labels)
     ds = ManifestDataset(args.test_manifest, ac, labels)
     if args.offline:
+        if family != 'wav2letter':
+            raise SystemExit('--offline artifact eval supports wav2letter')
         return run_artifact_offline_eval(args, meta, folded, norm_stats,
                                          conf, decoder, ds)
     kw = {}
     if norm_stats is not None:
         kw = dict(norm='precomputed', norm_stats=norm_stats)
-    sw = StreamingWav2Letter(
-        meta['layers'], meta['num_labels'], None, frontend, folded=folded,
-        chunk_frames=args.streaming_chunk_frames,
-        padding_mode=meta.get('padding_mode', 'reflect'), **kw)
+    if family == 'jasper':
+        from wav2letter_pytorch_tpu.serving import StreamingJasper
+        sw = StreamingJasper(meta['jasper_blocks'], meta['num_labels'],
+                             None, frontend, folded=folded,
+                             chunk_frames=args.streaming_chunk_frames,
+                             **kw)
+    else:
+        sw = StreamingWav2Letter(
+            meta['layers'], meta['num_labels'], None, frontend,
+            folded=folded, chunk_frames=args.streaming_chunk_frames,
+            padding_mode=meta.get('padding_mode', 'reflect'), **kw)
     acc = RatioAccumulator()
     n_skipped = 0
     for i in range(len(ds)):

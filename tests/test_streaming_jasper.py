@@ -157,6 +157,90 @@ def test_jasper_int8_close_to_f32():
     assert agree > 0.9
 
 
+def test_jasper_artifact_roundtrip(tmp_path):
+    """Export/load a Jasper artifact; sessions from the loaded fold match
+    live-fold sessions exactly, and int8 applies at load time."""
+    from wav2letter_pytorch_tpu.serving import (export_serving_jasper,
+                                                load_serving)
+    model, variables, frontend = _build(JASPER_SMALL)
+    stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
+    out = export_serving_jasper(
+        str(tmp_path / 'art'), JASPER_SMALL, 7, variables,
+        labels=list('_abcde '),
+        audio_conf={'sample_rate': 16000, 'window_size': 0.02,
+                    'window_stride': 0.01, 'window': 'hamming'},
+        norm_stats=stats, n_mels=N_MELS)
+    meta, folded, loaded_stats = load_serving(out)
+    assert meta['family'] == 'jasper'
+    np.testing.assert_array_equal(loaded_stats[0], stats[0])
+
+    fe = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0)
+    kw = dict(chunk_frames=16, norm='precomputed', norm_stats=stats)
+    s_live = StreamingJasper(JASPER_SMALL, 7, variables, fe, **kw)
+    s_art = StreamingJasper(meta['jasper_blocks'], meta['num_labels'],
+                            None, fe, folded=folded, **kw)
+    length = s_live.prime_samples + s_live.chunk_samples + 500
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+    a, va = _run_stream(s_live, audio, np.array([length]))
+    b, vb = _run_stream(s_art, audio, np.array([length]))
+    assert int(va[0]) == int(vb[0])
+    np.testing.assert_allclose(a[0, :int(va[0])], b[0, :int(vb[0])],
+                               atol=1e-6)
+    # int8-at-load: quantizes the loaded fold, runs, stays decode-close.
+    s_q = StreamingJasper(meta['jasper_blocks'], meta['num_labels'], None,
+                          fe, folded=folded, weights='int8', **kw)
+    c, vc = _run_stream(s_q, audio, np.array([length]))
+    v = int(va[0])
+    assert np.mean(np.abs(c[0, :v] - a[0, :v])) < 0.02
+
+
+def test_jasper_artifact_cli(tmp_path):
+    """train.py (jasper) -> export CLI -> test.py --artifact end to end."""
+    import contextlib
+    import importlib.util
+    import io
+    import json as json_mod
+    import os
+
+    from tests.test_train_e2e import _make_corpus
+    manifest = _make_corpus(tmp_path, n=4, seed=4)
+    run_dir = tmp_path / 'jrun'
+    import train as train_cli
+    rc = train_cli.main([
+        f'data.train_manifest={manifest}',
+        f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model=jasper', 'model.input_size=32', 'model.mid_layers=2',
+        'model.jasper_blocks=[{layer_size: 16, kernel_size: 7, stride: 2, '
+        'residual: false, separable: true}, {layer_size: 16, kernel_size: '
+        '7, stride: 1, residual: true, separable: true}]',
+        'trainer.max_epochs=1', 'trainer.max_steps=2',
+        'trainer.string_metrics_interval=0', 'trainer.mesh.data=2',
+        f'trainer.default_root_dir={run_dir}',
+    ])
+    assert rc == 0
+    spec = importlib.util.spec_from_file_location(
+        'export_serving',
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     'scripts', 'export_serving.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    art = tmp_path / 'artifact'
+    rc = mod.main(['--model-path', str(run_dir), '--out', str(art),
+                   '--cmvn-manifest', manifest])
+    assert rc == 0
+    import test as test_cli
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = test_cli.main(['--artifact', str(art),
+                            '--test-manifest', manifest,
+                            '--streaming-chunk-frames', '8'])
+    assert rc == 0
+    result = json_mod.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result['streaming'] is True and 'wer' in result
+
+
 def test_jasper_unsupported_configs():
     model, variables, frontend = _build(JASPER_SMALL)
     bad = [dict(JASPER_SMALL[0]), dict(JASPER_SMALL[1])]

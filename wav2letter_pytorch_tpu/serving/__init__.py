@@ -6,7 +6,8 @@ inference layer: chunked stateful streaming with compiled fixed-shape phase
 programs (streaming.py) and BatchNorm-folded fused conv blocks.
 """
 
-from .export import compute_cmvn, export_serving, load_serving
+from .export import (compute_cmvn, export_serving, export_serving_jasper,
+                     load_serving)
 from .infer import offline_forward, offline_forward_q8
 from .parallel_infer import MeshInference
 from .quantize import (calibrate_activation_scales, quantize_folded,
@@ -20,5 +21,6 @@ __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
            'StreamingTranscriber', 'StreamingBeamTranscriber',
            'fold_batchnorm', 'fold_jasper',
            'offline_forward', 'offline_forward_q8', 'quantize_folded',
-           'quantized_bytes', 'export_serving', 'load_serving',
+           'quantized_bytes', 'export_serving', 'export_serving_jasper',
+           'load_serving',
            'compute_cmvn', 'MeshInference', 'calibrate_activation_scales']

@@ -103,22 +103,109 @@ def export_serving(out_dir: str, layers, num_labels: int, variables,
     return out_dir
 
 
+def export_serving_jasper(out_dir: str, jasper_blocks, num_labels: int,
+                          variables, labels=None, audio_conf=None,
+                          norm_stats=None, feature_type: str = 'logmel',
+                          n_mels: int | None = None):
+    """Write a Jasper serving artifact (folded f32 weights + geometry).
+
+    Stored f32; int8 quantization is applied at LOAD time by passing
+    ``weights='int8'`` to ``StreamingJasper`` (the session quantizes the
+    loaded fold), so one artifact serves both formats.
+    """
+    from .streaming_jasper import fold_jasper
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = [dict(b) for b in jasper_blocks]
+    blocks, head = fold_jasper(variables, cfg)
+    arrays, blocks_meta = {}, []
+
+    def put(key, w, b):
+        arrays[key + '_w'] = np.asarray(w, np.float32)
+        if b is not None:
+            arrays[key + '_b'] = np.asarray(b, np.float32)
+
+    for i, blk in enumerate(blocks):
+        bm = {k: blk[k] for k in ('residual_mode', 'activation', 'dense',
+                                  'mask')}
+        bm['reps'] = []
+        for r, ops in enumerate(blk['reps']):
+            row = []
+            for j, op in enumerate(ops):
+                put(f'b{i}_r{r}_o{j}', op['w'], op['b'])
+                row.append({f: op[f] for f in ('k', 's', 'd', 'pad',
+                                               'depthwise', 'mask')})
+            bm['reps'].append(row)
+        bm['n_res'] = -1
+        if blk['res'] is not None:
+            bm['n_res'] = len(blk['res'])
+            for j, (w, b) in enumerate(blk['res']):
+                put(f'b{i}_res{j}', w, b)
+        blocks_meta.append(bm)
+    put('head', head[0], head[1])
+    if norm_stats is not None:
+        arrays['cmvn_mean'] = np.asarray(norm_stats[0], np.float32)
+        arrays['cmvn_std'] = np.asarray(norm_stats[1], np.float32)
+    np.savez(os.path.join(out_dir, 'serving.npz'), **arrays)
+    meta = {
+        'format': 'f32',
+        'family': 'jasper',
+        'jasper_blocks': cfg,
+        'blocks_meta': blocks_meta,
+        'num_labels': num_labels,
+        'labels': list(labels) if labels is not None else None,
+        'audio_conf': dict(audio_conf) if audio_conf is not None else None,
+        'has_cmvn': norm_stats is not None,
+        'feature_type': feature_type,
+        'n_mels': n_mels,
+    }
+    with open(os.path.join(out_dir, 'serving.json'), 'w') as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
 def load_serving(artifact_dir: str):
     """Load an artifact -> (meta dict, folded weights, norm_stats | None).
 
-    ``folded`` plugs into ``offline_forward`` and (via the ``folded=``
-    constructor arg) ``StreamingWav2Letter``.
+    For the wav2letter family ``folded`` plugs into ``offline_forward`` /
+    ``StreamingWav2Letter(folded=...)``; for jasper it is the
+    ``(blocks, head)`` pair for ``StreamingJasper(folded=...)``.
     """
     with open(os.path.join(artifact_dir, 'serving.json')) as f:
         meta = json.load(f)
     npz = np.load(os.path.join(artifact_dir, 'serving.npz'))
+    norm_stats = None
+    if meta.get('has_cmvn'):
+        norm_stats = (npz['cmvn_mean'], npz['cmvn_std'])
+
+    if meta.get('family', 'wav2letter') == 'jasper':
+        files = set(npz.files)
+
+        def get(key):
+            b = npz[key + '_b'] if key + '_b' in files else None
+            return npz[key + '_w'], b
+
+        blocks = []
+        for i, bm in enumerate(meta['blocks_meta']):
+            blk = {k: bm[k] for k in ('residual_mode', 'activation',
+                                      'dense', 'mask')}
+            blk['reps'] = []
+            for r, row in enumerate(bm['reps']):
+                ops = []
+                for j, geom in enumerate(row):
+                    w, b = get(f'b{i}_r{r}_o{j}')
+                    ops.append(dict(geom, w=w, b=b))
+                blk['reps'].append(ops)
+            blk['res'] = None
+            if bm['n_res'] >= 0:
+                blk['res'] = [get(f'b{i}_res{j}')
+                              for j in range(bm['n_res'])]
+            blocks.append(blk)
+        return meta, (blocks, get('head')), norm_stats
+
     folded = []
     for i in range(meta['num_layers']):
         if meta['format'] == 'int8':
             folded.append((npz[f'w{i}'], npz[f's{i}'], npz[f'b{i}']))
         else:
             folded.append((npz[f'w{i}'], npz[f'b{i}']))
-    norm_stats = None
-    if meta.get('has_cmvn'):
-        norm_stats = (npz['cmvn_mean'], npz['cmvn_std'])
     return meta, folded, norm_stats

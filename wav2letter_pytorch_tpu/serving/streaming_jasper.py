@@ -144,13 +144,21 @@ class StreamingJasper(_FrontendStreaming):
 
     def __init__(self, jasper_blocks, num_labels: int, variables, frontend,
                  chunk_frames: int = 64, norm: str = 'cumulative',
-                 norm_stats=None, weights: str = 'f32'):
+                 norm_stats=None, weights: str = 'f32', folded=None):
+        """``folded``: a pre-folded ``(blocks, head)`` pair (from
+        ``fold_jasper`` or an exported artifact via ``load_serving``);
+        when given, ``variables`` may be None. ``weights='int8'`` still
+        applies — quantization happens below on whichever fold is used."""
         import jax
 
         self.num_labels = num_labels
         self._init_frontend(frontend, norm, norm_stats, chunk_frames)
         self._blocks_cfg = [dict(b) for b in jasper_blocks]
-        self._blocks, self._head = fold_jasper(variables, self._blocks_cfg)
+        if folded is not None:
+            self._blocks, self._head = folded
+        else:
+            self._blocks, self._head = fold_jasper(variables,
+                                                   self._blocks_cfg)
         if weights not in ('f32', 'int8'):
             raise ValueError(f'unknown weights mode: {weights!r}')
         self._int8 = weights == 'int8'
