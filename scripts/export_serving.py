@@ -87,6 +87,7 @@ def main(argv=None):
 
     layers = [dict(l) for l in cfg.model.layers][:int(cfg.model.mid_layers)]
 
+    folded = fold_batchnorm(variables, len(layers))
     act_scales = None
     if args.calibrate:
         if not (args.int8 and args.cmvn_manifest):
@@ -103,7 +104,7 @@ def main(argv=None):
         cal_fe = build_frontend(cfg.model, dither=0.0,
                                 norm_stats=norm_stats)
         act_scales = calibrate_activation_scales(
-            layers, fold_batchnorm(variables, len(layers)), cal_fe, audio,
+            layers, folded, cal_fe, audio,
             np.array([len(c) for c in clips]),
             padding_mode=cfg.model.get('padding_mode', 'reflect'))
         print(f'calibrated {len(act_scales)} activation scales '
@@ -115,7 +116,8 @@ def main(argv=None):
                    norm_stats=norm_stats,
                    padding_mode=cfg.model.get('padding_mode', 'reflect'),
                    feature_type=cfg.model.get('feature_type', 'logmel'),
-                   n_mels=frontend.n_mels, act_scales=act_scales)
+                   n_mels=frontend.n_mels, act_scales=act_scales,
+                   folded=folded)
     print(f'wrote {args.out}/serving.npz + serving.json', file=sys.stderr)
     return 0
 

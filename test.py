@@ -94,6 +94,12 @@ def main(argv=None):
 
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+    if args.offline and not args.artifact:
+        raise SystemExit('--offline is an artifact-eval mode; pass '
+                         '--artifact <dir>')
+    if args.int8_full and not (args.artifact and args.offline):
+        raise SystemExit('--int8-full applies to --artifact --offline '
+                         'evaluation only')
     if args.artifact:
         return run_artifact_eval(args)
     if not args.model_path:
@@ -260,16 +266,18 @@ def run_artifact_eval(args):
                        window=ac.get('window', 'hamming'))
     n_mels = meta.get('n_mels') or (folded[0][0].shape[1]
                                     if family == 'wav2letter' else None)
-    frontend = SpectrogramFrontend(
-        conf, n_mels=int(n_mels), dither=0.0,
-        feature_type=meta.get('feature_type', 'logmel'))
+    if n_mels is None:
+        raise SystemExit('artifact lacks n_mels metadata')
     decoder = GreedyDecoder(labels)
     ds = ManifestDataset(args.test_manifest, ac, labels)
     if args.offline:
         if family != 'wav2letter':
             raise SystemExit('--offline artifact eval supports wav2letter')
         return run_artifact_offline_eval(args, meta, folded, norm_stats,
-                                         conf, decoder, ds)
+                                         conf, int(n_mels), decoder, ds)
+    frontend = SpectrogramFrontend(
+        conf, n_mels=int(n_mels), dither=0.0,
+        feature_type=meta.get('feature_type', 'logmel'))
     kw = {}
     if norm_stats is not None:
         kw = dict(norm='precomputed', norm_stats=norm_stats)
@@ -309,8 +317,8 @@ def run_artifact_eval(args):
     return 0
 
 
-def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, decoder,
-                              ds):
+def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
+                              decoder, ds):
     """Batched, mesh-sharded offline inference over a manifest — the
     transcription-service evaluation path (serving.MeshInference)."""
     import numpy as np
@@ -321,8 +329,8 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, decoder,
     from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
 
     frontend = SpectrogramFrontend(
-        conf, n_mels=int(meta.get('n_mels', folded[0][0].shape[1])),
-        dither=0.0, feature_type=meta.get('feature_type', 'logmel'),
+        conf, n_mels=n_mels, dither=0.0,
+        feature_type=meta.get('feature_type', 'logmel'),
         norm_stats=norm_stats)
     mode = meta['format']
     if args.int8_full:

@@ -272,6 +272,9 @@ class IncrementalPrefixBeam:
     def step(self, ctc) -> str:
         """Consume a [T, L] chunk of probabilities; returns current best."""
         ctc = np.asarray(ctc)
+        assert ctc.ndim == 2, f'expected [T, L], got shape {ctc.shape}'
+        assert ctc.shape[1] == len(self.labels), (
+            f'ctc width {ctc.shape[1]} != len(labels) {len(self.labels)}')
         assert (ctc >= 0).all(), 'ctc must be probabilities (non-negative)'
         labels, blank_index = self.labels, self.blank_index
         blank_char = labels[blank_index]

@@ -56,15 +56,17 @@ def export_serving(out_dir: str, layers, num_labels: int, variables,
                    labels=None, audio_conf=None, weights: str = 'f32',
                    norm_stats=None, padding_mode: str = 'reflect',
                    feature_type: str = 'logmel', n_mels: int | None = None,
-                   act_scales=None):
+                   act_scales=None, folded=None):
     """Write the serving artifact. Returns the artifact directory.
 
     ``act_scales``: optional static int8 activation scales
     (quantize.calibrate_activation_scales) recorded in the metadata for
-    int8_full inference."""
+    int8_full inference. ``folded``: a pre-computed f32 fold (avoids
+    re-folding when the caller already has one, e.g. for calibration)."""
     os.makedirs(out_dir, exist_ok=True)
     layers = [dict(l) for l in layers]
-    folded = fold_batchnorm(variables, len(layers))
+    if folded is None:
+        folded = fold_batchnorm(variables, len(layers))
     arrays = {}
     if weights == 'int8':
         for i, (q, scale, b) in enumerate(quantize_folded(folded)):
@@ -156,7 +158,12 @@ def export_serving_jasper(out_dir: str, jasper_blocks, num_labels: int,
         'audio_conf': dict(audio_conf) if audio_conf is not None else None,
         'has_cmvn': norm_stats is not None,
         'feature_type': feature_type,
-        'n_mels': n_mels,
+        # Fallback: the first conv's input channels (dw kernel [k,1,C]
+        # keeps C; plain conv [k,Cin,Cout] has Cin).
+        'n_mels': (n_mels if n_mels is not None else int(
+            blocks[0]['reps'][0][0]['w'].shape[2]
+            if blocks[0]['reps'][0][0]['depthwise']
+            else blocks[0]['reps'][0][0]['w'].shape[1])),
     }
     with open(os.path.join(out_dir, 'serving.json'), 'w') as f:
         json.dump(meta, f, indent=2)

@@ -77,26 +77,24 @@ def offline_forward_q8(layers, folded_q, feats, input_lengths=None,
 
     ``act_scales``: optional static per-layer scales from
     ``quantize.calibrate_activation_scales`` (len == len(folded_q)).
-    Without them, scales are dynamic per batch row (max|x|/127). Use
-    ``quantize.quantize_folded`` weights; accuracy is approximate —
+    Without them, scales are dynamic per batch row — max|x|/127 over each
+    sample's VALID frames (padding excluded when ``input_lengths`` is
+    given, so a bucket's padding cannot stretch the quantization grid).
+    Use ``quantize.quantize_folded`` weights; accuracy is approximate —
     validate WER on a dev set before deploying.
     """
     import jax
     import jax.numpy as jnp
 
-    def a_scale_of(x, i):
-        if act_scales is not None:
-            return jnp.asarray(act_scales[i], jnp.float32).reshape(1, 1, 1)
-        return jnp.maximum(
-            jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True), 1e-6) / 127.0
-
     x = jnp.asarray(feats, jnp.float32)
+    cur_len = None if input_lengths is None \
+        else jnp.asarray(input_lengths, jnp.int32)
     scale_total = 1
     geometry = _layer_geometry(layers)
     for i, ((k, s, d), (q, w_scale, b)) in enumerate(
             zip(geometry, folded_q[:-1])):
-        a_scale = a_scale_of(x, i)
-        xq = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+        a_scale = _act_scale(x, act_scales, i, cur_len)
+        xq = quantize_act(x, a_scale)
         left, right = same_pad_amount(x.shape[1], k, s, d)
         if left or right:
             xq = jnp.pad(xq, ((0, 0), (left, right), (0, 0)),
@@ -110,9 +108,11 @@ def offline_forward_q8(layers, folded_q, feats, input_lengths=None,
                                      [None, None, :])
         x = jnp.clip(y + jnp.asarray(b), 0.0, 20.0)
         scale_total *= s
+        if cur_len is not None:
+            cur_len = cur_len // s
     qh, sh, bh = folded_q[-1]
-    a_scale = a_scale_of(x, len(folded_q) - 1)
-    xq = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+    a_scale = _act_scale(x, act_scales, len(folded_q) - 1, cur_len)
+    xq = quantize_act(x, a_scale)
     logits = jax.lax.dot_general(
         xq, jnp.asarray(qh)[0], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.int32) \
@@ -122,6 +122,30 @@ def offline_forward_q8(layers, folded_q, feats, input_lengths=None,
     if input_lengths is None:
         return logp, None
     return logp, jnp.asarray(input_lengths, jnp.int32) // scale_total
+
+
+def dynamic_act_scale(x, valid_lengths=None):
+    """Per-row symmetric int8 activation scale max|x|/127, reduced over
+    valid frames only when ``valid_lengths`` [B] is given."""
+    import jax.numpy as jnp
+    a = jnp.abs(x)
+    if valid_lengths is not None:
+        mask = (jnp.arange(x.shape[1])[None, :]
+                < valid_lengths[:, None])[:, :, None]
+        a = jnp.where(mask, a, 0.0)
+    return jnp.maximum(jnp.max(a, axis=(1, 2), keepdims=True), 1e-6) / 127.0
+
+
+def quantize_act(x, a_scale):
+    import jax.numpy as jnp
+    return jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+
+
+def _act_scale(x, act_scales, i, valid_lengths):
+    import jax.numpy as jnp
+    if act_scales is not None:
+        return jnp.asarray(act_scales[i], jnp.float32).reshape(1, 1, 1)
+    return dynamic_act_scale(x, valid_lengths)
 
 
 def _materialize(wb):

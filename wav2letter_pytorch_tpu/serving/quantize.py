@@ -52,12 +52,20 @@ def calibrate_activation_scales(layers, folded, frontend, audio, lengths,
     _, _, acts = offline_forward(layers, folded, feats, flens,
                                  padding_mode=padding_mode,
                                  return_activations=True)
-    # Percentiles run over all frames incl. padding; keep calibration
-    # batches near-unpadded (similar lengths) for faithful statistics.
+    # Percentiles run over each sample's VALID frames only — calibration
+    # batches mix utterance lengths, and padding-region activations would
+    # otherwise dominate the high percentiles.
+    strides = [int(l.get('stride', 1)) for l in layers]
+    cur = np.asarray(flens, np.int64)
     scales = []
-    for a in acts:
-        p = float(np.percentile(np.abs(np.asarray(a)), percentile))
+    for i, a in enumerate(acts):
+        a = np.asarray(a)
+        vals = np.concatenate([np.abs(a[b, :cur[b]]).ravel()
+                               for b in range(a.shape[0])])
+        p = float(np.percentile(vals, percentile))
         scales.append(max(p, 1e-6) / 127.0)
+        if i < len(strides):
+            cur = cur // strides[i]
     return scales
 
 

@@ -459,14 +459,14 @@ class StreamingWav2Letter(_FrontendStreaming):
             new_carries.append(buf[:, q * sp.stride:])
             if self._act_int8:
                 # int8 x int8 -> int32 on the MXU (~1.7x bf16 conv
-                # throughput); dynamic per-row activation scale.
+                # throughput); dynamic per-row activation scale (stream
+                # interiors carry no padding frames, so no masking).
+                from .infer import dynamic_act_scale, quantize_act
                 wq, w_scale, b = wb
-                a_scale = jnp.maximum(jnp.max(jnp.abs(buf), axis=(1, 2),
-                                              keepdims=True), 1e-6) / 127.0
-                bq = jnp.clip(jnp.round(buf / a_scale), -127, 127) \
-                    .astype(jnp.int8)
+                a_scale = dynamic_act_scale(buf)
                 out = jax.lax.conv_general_dilated(
-                    bq, wq, window_strides=(sp.stride,), padding='VALID',
+                    quantize_act(buf, a_scale), wq,
+                    window_strides=(sp.stride,), padding='VALID',
                     rhs_dilation=(sp.dilation,),
                     dimension_numbers=('NWC', 'WIO', 'NWC'),
                     preferred_element_type=jnp.int32)
@@ -480,13 +480,11 @@ class StreamingWav2Letter(_FrontendStreaming):
                     dimension_numbers=('NWC', 'WIO', 'NWC'))
             x = jnp.clip(out + b, 0.0, 20.0)
         if self._act_int8:
+            from .infer import dynamic_act_scale, quantize_act
             wq, w_scale, bh = folded[-1]
-            a_scale = jnp.maximum(jnp.max(jnp.abs(x), axis=(1, 2),
-                                          keepdims=True), 1e-6) / 127.0
-            xq = jnp.clip(jnp.round(x / a_scale), -127, 127) \
-                .astype(jnp.int8)
+            a_scale = dynamic_act_scale(x)
             logits = jax.lax.dot_general(
-                xq, wq[0], (((2,), (0,)), ((), ())),
+                quantize_act(x, a_scale), wq[0], (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32) \
                 * (a_scale * w_scale[None, None, :]) + bh
         else:
