@@ -1,0 +1,93 @@
+"""StreamMultiplexer: dynamically attached/detached streams in one batched
+session must transcribe exactly like dedicated single-stream sessions
+(slot rows are computationally independent; prime-scatter and
+finish-slice must preserve that)."""
+
+import numpy as np
+import pytest
+
+from wav2letter_pytorch_tpu.data.features import (AudioConfig,
+                                                  SpectrogramFrontend)
+from wav2letter_pytorch_tpu.serving import (StreamingTranscriber,
+                                            StreamingWav2Letter,
+                                            StreamMultiplexer)
+from tests.test_streaming import N_MELS, SMALL_LAYERS, _build
+
+LABELS = ['_', 'a', 'b', 'c', 'd', 'e', ' ']
+
+
+@pytest.fixture(scope='module')
+def sw():
+    model, variables, frontend = _build(SMALL_LAYERS)
+    stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
+    fe = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0,
+                             norm_stats=stats)
+    return StreamingWav2Letter(SMALL_LAYERS, len(LABELS), variables, fe,
+                               chunk_frames=16, norm='precomputed',
+                               norm_stats=stats)
+
+
+def _dedicated(sw, audio):
+    sess = sw.start(1)
+    tr = StreamingTranscriber(sess, LABELS)
+    tr.feed(audio[None, :])
+    return tr.finish(np.array([len(audio)]))[0]
+
+
+def test_multiplexer_matches_dedicated_sessions(sw):
+    rng = np.random.default_rng(21)
+    cs, ps = sw.chunk_samples, sw.prime_samples
+    lengths = [ps + 5 * cs + 700, ps + 4 * cs + 1300, ps + 3 * cs]
+    streams = [(rng.standard_normal(L) * 0.3).astype(np.float32)
+               for L in lengths]
+    expected = [_dedicated(sw, a) for a in streams]
+
+    mux = StreamMultiplexer(sw, slots=4, labels=LABELS)
+    pos = [0, 0, 0]
+    slot = [None, None, None]
+    # Staggered attach: stream 0 immediately, 1 after one tick, 2 later.
+    attach_at = [0, 1, 3]
+    finals = [None, None, None]
+    for t in range(30):
+        if all(f is not None for f in finals):
+            break
+        for i in range(3):
+            if attach_at[i] == t:
+                slot[i] = mux.attach()
+                mux.feed(slot[i], streams[i][:ps + cs])
+                pos[i] = ps + cs
+        # Real-time pacing: one chunk per stream per tick; detach once the
+        # stream's audio is exhausted and its buffer drained below a chunk.
+        for i in range(3):
+            if slot[i] is None or finals[i] is not None:
+                continue
+            if pos[i] < lengths[i]:
+                mux.feed(slot[i], streams[i][pos[i]:pos[i] + cs])
+                pos[i] += cs
+            if pos[i] >= lengths[i] and mux.pending(slot[i]) < cs:
+                finals[i] = mux.detach(slot[i])
+        mux.tick()
+    for i in range(3):
+        if finals[i] is None:
+            finals[i] = mux.detach(slot[i])
+    assert finals == expected
+
+
+def test_multiplexer_slot_reuse_and_errors(sw):
+    rng = np.random.default_rng(3)
+    mux = StreamMultiplexer(sw, slots=2, labels=LABELS)
+    a = mux.attach()
+    b = mux.attach()
+    with pytest.raises(RuntimeError, match='busy'):
+        mux.attach()
+    audio = (rng.standard_normal(sw.prime_samples + 300) * 0.3) \
+        .astype(np.float32)
+    mux.feed(a, audio)
+    with pytest.raises(RuntimeError, match='starved'):
+        mux.tick()  # slot a primed but lacks a full chunk
+    text = mux.detach(a)
+    assert text == _dedicated(sw, audio)
+    c = mux.attach()   # freed slot is reusable
+    assert c == a
+    with pytest.raises(ValueError, match='prime window'):
+        mux.detach(b)  # never primed

@@ -10,6 +10,7 @@ from .export import (compute_cmvn, export_serving, export_serving_jasper,
                      load_serving)
 from .infer import offline_forward, offline_forward_q8
 from .parallel_infer import MeshInference
+from .server import StreamMultiplexer
 from .quantize import (calibrate_activation_scales, quantize_folded,
                        quantized_bytes)
 from .streaming_jasper import StreamingJasper, fold_jasper
@@ -23,4 +24,5 @@ __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
            'offline_forward', 'offline_forward_q8', 'quantize_folded',
            'quantized_bytes', 'export_serving', 'export_serving_jasper',
            'load_serving',
-           'compute_cmvn', 'MeshInference', 'calibrate_activation_scales']
+           'compute_cmvn', 'MeshInference', 'calibrate_activation_scales',
+           'StreamMultiplexer']

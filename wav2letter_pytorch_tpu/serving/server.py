@@ -1,0 +1,157 @@
+"""Stream multiplexer: batch many live audio streams into one session.
+
+One chip serves thousands of concurrent real-time streams only if their
+chunks are batched (benchmarks/serving_latency.json: a 16-stream step
+costs barely more than a 1-stream step). ``StreamMultiplexer`` owns a
+single batched streaming state with a fixed number of SLOTS; streams
+attach to a free slot, feed audio, and detach with a final transcript —
+all slot rows advance in one compiled step per tick.
+
+The trick making dynamic attach/detach cheap is that every piece of
+streaming state carries the batch as its leading axis and rows never
+interact: a newly attached stream runs the single-row prime program and
+its state rows are scattered into the batched state; a detaching stream's
+rows are sliced out and flushed through the single-row finish program.
+Idle slots keep stepping over silence — harmless, their output is
+discarded, and the next attach overwrites their state rows.
+
+Contract: this is the transport layer for REAL-TIME streams — by each
+``tick()`` every attached-and-primed stream must have one chunk of audio
+buffered (live microphones produce exactly chunk rate). Greedy incremental
+transcription is built in; grab ``logp`` from the tick results for custom
+decoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class StreamMultiplexer:
+    """Multiplex up to ``slots`` live streams through one batched session.
+
+    ``model``: a ``StreamingWav2Letter`` / ``StreamingJasper`` instance.
+    """
+
+    def __init__(self, model, slots: int = 16, labels=None):
+        import jax
+        self.m = model
+        self.slots = slots
+        self.labels = list(labels) if labels is not None else None
+        # Bootstrap a valid batched state by priming silence.
+        silence = np.zeros((slots, model.prime_samples), np.float32)
+        self._state, _ = model._prime_fn(model._weights_dev, silence)
+        self._buf = [np.zeros(0, np.float32)] * slots
+        self._active = [False] * slots
+        self._primed = [False] * slots
+        self._consumed = [0] * slots
+        self._last = [0] * slots
+        self._text = [''] * slots
+
+    # ------------------------------------------------------------------
+
+    def attach(self) -> int:
+        """Claim a free slot for a new stream. Raises when full."""
+        for s in range(self.slots):
+            if not self._active[s]:
+                self._active[s] = True
+                self._primed[s] = False
+                self._buf[s] = np.zeros(0, np.float32)
+                self._consumed[s] = 0
+                self._last[s] = 0
+                self._text[s] = ''
+                return s
+        raise RuntimeError(f'all {self.slots} slots busy')
+
+    def feed(self, slot: int, audio) -> None:
+        """Buffer audio for ``slot``; primes the slot once enough has
+        arrived (scattering fresh state rows into the batch)."""
+        import jax
+        if not self._active[slot]:
+            raise ValueError(f'slot {slot} is not attached')
+        self._buf[slot] = np.concatenate(
+            [self._buf[slot], np.asarray(audio, np.float32).ravel()])
+        if (not self._primed[slot]
+                and len(self._buf[slot]) >= self.m.prime_samples):
+            chunk = self._buf[slot][:self.m.prime_samples][None]
+            self._buf[slot] = self._buf[slot][self.m.prime_samples:]
+            row_state, logp = self.m._prime_fn(self.m._weights_dev, chunk)
+            self._state = jax.tree_util.tree_map(
+                lambda S, r: S.at[slot].set(r[0]), self._state, row_state)
+            self._consumed[slot] = self.m.prime_samples
+            self._primed[slot] = True
+            self._decode(slot, np.asarray(logp)[0])
+
+    def tick(self):
+        """Advance every primed stream by one chunk in a single batched
+        step. Returns {slot: new_text} for primed streams."""
+        cs = self.m.chunk_samples
+        stepped = [s for s in range(self.slots)
+                   if self._active[s] and self._primed[s]]
+        for s in stepped:
+            if len(self._buf[s]) < cs:
+                raise RuntimeError(
+                    f'slot {s} starved: {len(self._buf[s])} < {cs} '
+                    'samples buffered at tick (real-time contract)')
+        chunks = np.zeros((self.slots, cs), np.float32)
+        for s in stepped:
+            chunks[s] = self._buf[s][:cs]
+            self._buf[s] = self._buf[s][cs:]
+            self._consumed[s] += cs
+        self._state, logp = self.m._step_fn(self.m._weights_dev,
+                                            self._state, chunks)
+        logp = np.asarray(logp)
+        return {s: self._decode(s, logp[s]) for s in stepped}
+
+    def detach(self, slot: int, total_samples: int | None = None) -> str:
+        """Flush ``slot`` through the single-row finish program and free
+        it; returns the final transcript."""
+        import jax
+        if not self._primed[slot]:
+            raise ValueError('detach before prime: stream shorter than the '
+                             'prime window; use the offline path')
+        tail = self._buf[slot]
+        if total_samples is None:
+            total_samples = self._consumed[slot] + len(tail)
+        tail_len = total_samples - self._consumed[slot]
+        if not 0 <= tail_len <= self.m.chunk_samples:
+            raise ValueError('stream end must fall within the final '
+                             'partial chunk')
+        padded = np.zeros((1, self.m.chunk_samples), np.float32)
+        padded[0, :len(tail)] = tail
+        row_state = jax.tree_util.tree_map(lambda S: S[slot:slot + 1],
+                                           self._state)
+        logp, valid = self.m._finish_fn(
+            self.m._weights_dev, row_state, padded,
+            np.array([tail_len], np.int32))
+        self._decode(slot, np.asarray(logp)[0, :int(np.asarray(valid)[0])])
+        text = self._text[slot]
+        self._active[slot] = False
+        return text
+
+    def text(self, slot: int) -> str:
+        return self._text[slot]
+
+    def pending(self, slot: int) -> int:
+        """Samples buffered but not yet dispatched for ``slot`` (detach
+        requires this to be below one chunk)."""
+        return len(self._buf[slot])
+
+    # ------------------------------------------------------------------
+
+    def _decode(self, slot: int, logp) -> str:
+        """Incremental greedy collapse (repeat state carried per slot)."""
+        if self.labels is None or logp.shape[0] == 0:
+            return ''
+        ids = np.argmax(logp, axis=-1)
+        out = []
+        last = self._last[slot]
+        for i in ids:
+            i = int(i)
+            if i != 0 and i != last:
+                out.append(self.labels[i])
+            last = i
+        self._last[slot] = last
+        fresh = ''.join(out)
+        self._text[slot] += fresh
+        return fresh
