@@ -11,8 +11,14 @@ A ground-up rebuild of the capabilities of ``assafmu/wav2letter_pytorch``
   ``nn.CTCLoss(blank=0, reduction='mean', zero_infinity=True)`` semantics);
 * data parallelism via a ``jax.sharding.Mesh`` + NamedSharding (gradient
   all-reduce rides ICI, not NCCL);
-* host-side greedy / kenlm-fused prefix-beam-search decoding with a native
-  C++ Levenshtein extension for WER/CER.
+* host-side greedy / kenlm-fused prefix-beam-search decoding (plus a
+  batched on-device beam search) with a native C++ Levenshtein extension
+  for WER/CER;
+* a production serving layer (``serving/``): chunked streaming sessions
+  with exact offline parity, incremental greedy/beam transcription, BN
+  folding, int8 weight-only and full-int8 MXU inference with calibration,
+  serving artifacts, mesh-sharded batched inference, and a multi-stream
+  request multiplexer — see docs/SERVING.md.
 
 Reference layer map: /root/reference — see SURVEY.md for the blueprint.
 """
