@@ -134,7 +134,8 @@ def test_jasper_flagship_structure():
     assert sj.lookahead_frames > 100
 
 
-def test_jasper_int8_close_to_f32():
+@pytest.mark.parametrize('mode', ['int8', 'int8_full'])
+def test_jasper_quantized_modes_close_to_f32(mode):
     """Weight-only int8 Jasper streaming stays close to the f32 session
     (same chunks, same state machinery)."""
     model, variables, frontend = _build(JASPER_SMALL)
@@ -143,7 +144,7 @@ def test_jasper_int8_close_to_f32():
                              norm_stats=stats)
     kw = dict(chunk_frames=16, norm='precomputed', norm_stats=stats)
     s32 = StreamingJasper(JASPER_SMALL, 7, variables, fe, **kw)
-    s8 = StreamingJasper(JASPER_SMALL, 7, variables, fe, weights='int8',
+    s8 = StreamingJasper(JASPER_SMALL, 7, variables, fe, weights=mode,
                          **kw)
     length = s32.prime_samples + s32.chunk_samples + 640
     rng = np.random.default_rng(9)

@@ -159,9 +159,10 @@ class StreamingJasper(_FrontendStreaming):
         else:
             self._blocks, self._head = fold_jasper(variables,
                                                    self._blocks_cfg)
-        if weights not in ('f32', 'int8'):
+        if weights not in ('f32', 'int8', 'int8_full'):
             raise ValueError(f'unknown weights mode: {weights!r}')
-        self._int8 = weights == 'int8'
+        self._int8 = weights in ('int8', 'int8_full')
+        self._act_int8 = weights == 'int8_full'
 
         # Main-chain specs (the stream plan ignores 1x1 residual branches —
         # they never change frame counts).
@@ -271,7 +272,6 @@ class StreamingJasper(_FrontendStreaming):
             h = x
             for r, ops in enumerate(blk['reps']):
                 for op in ops:
-                    w_op, b_op = _materialize(weights['ops'][ci])
                     if op['mask'] and x_frames is not None and op['k'] > 1:
                         # Zero input frames beyond this sample's length
                         # (reference zero-fill, jasper.py:90-94). Carry
@@ -289,14 +289,31 @@ class StreamingJasper(_FrontendStreaming):
                     else:
                         buf = h
                         new_carries.append(carries[ci])  # zero-size
-                    ci += 1
                     groups = buf.shape[2] if op['depthwise'] else 1
-                    out = jax.lax.conv_general_dilated(
-                        buf, w_op,
-                        window_strides=(op['s'],), padding='VALID',
-                        rhs_dilation=(op['d'],),
-                        dimension_numbers=('NWC', 'WIO', 'NWC'),
-                        feature_group_count=groups)
+                    if self._act_int8:
+                        # int8 x int8 -> int32 on the MXU (grouped convs
+                        # included — verified bit-exact on-chip).
+                        from .infer import dynamic_act_scale, quantize_act
+                        wq, w_scale, b_op = weights['ops'][ci]
+                        a_scale = dynamic_act_scale(buf)
+                        out = jax.lax.conv_general_dilated(
+                            quantize_act(buf, a_scale), wq,
+                            window_strides=(op['s'],), padding='VALID',
+                            rhs_dilation=(op['d'],),
+                            dimension_numbers=('NWC', 'WIO', 'NWC'),
+                            feature_group_count=groups,
+                            preferred_element_type=jnp.int32)
+                        out = out.astype(jnp.float32) \
+                            * (a_scale * w_scale[None, None, :])
+                    else:
+                        w_op, b_op = _materialize(weights['ops'][ci])
+                        out = jax.lax.conv_general_dilated(
+                            buf, w_op,
+                            window_strides=(op['s'],), padding='VALID',
+                            rhs_dilation=(op['d'],),
+                            dimension_numbers=('NWC', 'WIO', 'NWC'),
+                            feature_group_count=groups)
+                    ci += 1
                     h = out + b_op if b_op is not None else out
                 if r < len(blk['reps']) - 1:
                     h = act(h)
