@@ -128,6 +128,18 @@ def test_streaming_int8_full_close(small):
     agree = np.mean(np.argmax(a[0, :v], -1) == np.argmax(b[0, :v], -1))
     assert agree > 0.85
 
+    # Static calibrated scales in the streaming session too.
+    from wav2letter_pytorch_tpu.serving import calibrate_activation_scales
+    scales = calibrate_activation_scales(
+        SMALL_LAYERS, fold_batchnorm(variables, len(SMALL_LAYERS)), fe,
+        audio, np.array([length]))
+    s_stat = StreamingWav2Letter(SMALL_LAYERS, 7, variables, fe,
+                                 weights='int8_full', act_scales=scales,
+                                 **kw)
+    c, vc = _run_stream(s_stat, audio, np.array([length]))
+    assert int(vc[0]) == v
+    assert np.mean(np.abs(c[0, :v] - a[0, :v])) < 0.15
+
 
 def test_streaming_int8_matches_offline_int8(small):
     """The int8 streaming session reproduces the int8 offline path (same

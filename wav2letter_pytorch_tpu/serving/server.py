@@ -18,8 +18,8 @@ discarded, and the next attach overwrites their state rows.
 Contract: this is the transport layer for REAL-TIME streams — by each
 ``tick()`` every attached-and-primed stream must have one chunk of audio
 buffered (live microphones produce exactly chunk rate). Greedy incremental
-transcription is built in; grab ``logp`` from the tick results for custom
-decoding.
+transcription is built in; for beam/custom decoding drive a dedicated
+``StreamingSession`` instead.
 """
 
 from __future__ import annotations
@@ -35,12 +35,21 @@ class StreamMultiplexer:
 
     def __init__(self, model, slots: int = 16, labels=None):
         import jax
+        import jax.numpy as jnp
+        if labels is None:
+            raise ValueError('labels are required (greedy transcription is '
+                             'the multiplexer output; for custom decoding '
+                             'use StreamingSession directly)')
         self.m = model
         self.slots = slots
-        self.labels = list(labels) if labels is not None else None
-        # Bootstrap a valid batched state by priming silence.
-        silence = np.zeros((slots, model.prime_samples), np.float32)
-        self._state, _ = model._prime_fn(model._weights_dev, silence)
+        self.labels = list(labels)
+        # Bootstrap a valid batched state: tile a single-row silence prime
+        # (feed() compiles/needs the batch-1 prime anyway — no extra
+        # batch=slots prime compilation).
+        silence = np.zeros((1, model.prime_samples), np.float32)
+        row, _ = model._prime_fn(model._weights_dev, silence)
+        self._state = jax.tree_util.tree_map(
+            lambda s: jnp.repeat(s, slots, axis=0), row)
         self._buf = [np.zeros(0, np.float32)] * slots
         self._active = [False] * slots
         self._primed = [False] * slots
@@ -88,6 +97,8 @@ class StreamMultiplexer:
         cs = self.m.chunk_samples
         stepped = [s for s in range(self.slots)
                    if self._active[s] and self._primed[s]]
+        if not stepped:
+            return {}
         for s in stepped:
             if len(self._buf[s]) < cs:
                 raise RuntimeError(
@@ -107,10 +118,16 @@ class StreamMultiplexer:
         """Flush ``slot`` through the single-row finish program and free
         it; returns the final transcript."""
         import jax
+        if not self._active[slot]:
+            raise ValueError(f'slot {slot} is not attached')
         if not self._primed[slot]:
             raise ValueError('detach before prime: stream shorter than the '
                              'prime window; use the offline path')
         tail = self._buf[slot]
+        if len(tail) > self.m.chunk_samples:
+            raise ValueError(f'slot {slot} has {len(tail)} samples pending '
+                             '(> one chunk); tick() until pending() < '
+                             'chunk_samples before detaching')
         if total_samples is None:
             total_samples = self._consumed[slot] + len(tail)
         tail_len = total_samples - self._consumed[slot]
@@ -141,17 +158,11 @@ class StreamMultiplexer:
 
     def _decode(self, slot: int, logp) -> str:
         """Incremental greedy collapse (repeat state carried per slot)."""
-        if self.labels is None or logp.shape[0] == 0:
+        from .streaming import greedy_collapse
+        if logp.shape[0] == 0:
             return ''
         ids = np.argmax(logp, axis=-1)
-        out = []
-        last = self._last[slot]
-        for i in ids:
-            i = int(i)
-            if i != 0 and i != last:
-                out.append(self.labels[i])
-            last = i
-        self._last[slot] = last
-        fresh = ''.join(out)
+        out, _, self._last[slot] = greedy_collapse(ids, self._last[slot])
+        fresh = ''.join(self.labels[i] for i in out)
         self._text[slot] += fresh
         return fresh

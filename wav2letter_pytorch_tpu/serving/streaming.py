@@ -338,10 +338,11 @@ class StreamingWav2Letter(_FrontendStreaming):
     def __init__(self, layers, num_labels: int, variables, frontend,
                  chunk_frames: int = 64, norm: str = 'cumulative',
                  norm_stats=None, weights: str = 'f32', folded=None,
-                 padding_mode: str = 'reflect'):
+                 padding_mode: str = 'reflect', act_scales=None):
         import jax  # deferred so module import never initializes a backend
 
         self.num_labels = num_labels
+        self._act_scales = act_scales  # static int8 scales (int8_full)
         self._init_frontend(frontend, norm, norm_stats, chunk_frames)
         if padding_mode not in ('reflect', 'zeros'):
             raise ValueError(f'unknown padding_mode: {padding_mode!r}')
@@ -459,11 +460,16 @@ class StreamingWav2Letter(_FrontendStreaming):
             new_carries.append(buf[:, q * sp.stride:])
             if self._act_int8:
                 # int8 x int8 -> int32 on the MXU (~1.7x bf16 conv
-                # throughput); dynamic per-row activation scale (stream
-                # interiors carry no padding frames, so no masking).
+                # throughput). Dynamic per-row scales are exact on interior
+                # chunks (no padding frames); in the finish phase the flush
+                # frames are clamp(0,20)-bounded like real activations, so
+                # any grid stretch is bounded — pass static calibrated
+                # ``act_scales`` to remove it entirely.
                 from .infer import dynamic_act_scale, quantize_act
                 wq, w_scale, b = wb
-                a_scale = dynamic_act_scale(buf)
+                a_scale = (jnp.float32(self._act_scales[i])
+                           if self._act_scales is not None
+                           else dynamic_act_scale(buf))
                 out = jax.lax.conv_general_dilated(
                     quantize_act(buf, a_scale), wq,
                     window_strides=(sp.stride,), padding='VALID',
@@ -482,7 +488,9 @@ class StreamingWav2Letter(_FrontendStreaming):
         if self._act_int8:
             from .infer import dynamic_act_scale, quantize_act
             wq, w_scale, bh = folded[-1]
-            a_scale = dynamic_act_scale(x)
+            a_scale = (jnp.float32(self._act_scales[-1])
+                       if self._act_scales is not None
+                       else dynamic_act_scale(x))
             logits = jax.lax.dot_general(
                 quantize_act(x, a_scale), wq[0], (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32) \
@@ -621,6 +629,21 @@ class StreamingSession:
         return self._consumed
 
 
+def greedy_collapse(ids, last: int):
+    """One incremental greedy-CTC collapse step: collapse repeats, drop
+    blanks (id 0), carrying the previous frame's id across chunk
+    boundaries (reference decoder.py:104-119). Returns
+    (emitted label ids, their frame positions, new carry)."""
+    out, pos = [], []
+    for t, i in enumerate(ids):
+        i = int(i)
+        if i != 0 and i != last:
+            out.append(i)
+            pos.append(t)
+        last = i
+    return out, pos, last
+
+
 class StreamingBeamTranscriber:
     """Incremental beam-search transcription over a streaming session.
 
@@ -705,17 +728,11 @@ class StreamingTranscriber:
         fresh = []
         for b in range(self.session.B):
             n = logp.shape[1] if valid is None else int(valid[b])
-            s = []
-            last = self._last[b]
-            for t in range(n):
-                i = int(ids[b, t])
-                if i != 0 and i != last:
-                    s.append(self.labels[i])
-                    self._offsets[b].append(self._frame[b] + t)
-                last = i
-            self._last[b] = last
+            out, pos, self._last[b] = greedy_collapse(ids[b, :n],
+                                                      self._last[b])
+            self._offsets[b].extend(self._frame[b] + t for t in pos)
             self._frame[b] += n
-            fresh.append(''.join(s))
+            fresh.append(''.join(self.labels[i] for i in out))
             self._text[b] += fresh[-1]
         return fresh
 
