@@ -316,6 +316,56 @@ def test_cumulative_norm_converges(small):
     assert late < 0.15
 
 
+@pytest.mark.parametrize('seed', [0, 1, 2, 3, 4])
+def test_stream_plan_fuzz(seed):
+    """Random layer geometries (kernels/strides/dilations, reflect or
+    zeros padding) must plan and stream exactly — structural fuzz over the
+    carry arithmetic."""
+    import jax
+
+    rng = np.random.default_rng(100 + seed)
+    n_layers = int(rng.integers(2, 5))
+    layers, scale = [], 1
+    for li in range(n_layers):
+        s = int(rng.choice([1, 1, 2])) if li == 0 else 1
+        layers.append({'output_size': 8,
+                       'kernel_size': int(rng.integers(2, 14)),
+                       'stride': s,
+                       'dilation': int(rng.choice([1, 1, 2, 3]))})
+        scale *= s
+    pad_mode = str(rng.choice(['reflect', 'zeros']))
+    chunk = 8 * scale
+
+    stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
+    fe = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0,
+                             norm_stats=stats)
+    model = Wav2Letter(layers=layers, num_labels=7, mid_layers=n_layers,
+                       padding_mode=pad_mode)
+    feats, flens = fe(np.zeros((1, 6400), np.float32), np.array([6400]))
+    variables = jax.device_get(
+        model.init(jax.random.PRNGKey(seed), feats, flens, train=False))
+    sw = StreamingWav2Letter(layers, 7, variables, fe, chunk_frames=chunk,
+                             norm='precomputed', norm_stats=stats,
+                             padding_mode=pad_mode)
+    length = sw.prime_samples + 2 * sw.chunk_samples \
+        + int(rng.integers(0, sw.chunk_samples))
+    audio = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+
+    pad = length + (sw.lookahead_frames + 8) * HOP
+    pad += HOP - pad % HOP
+    while (1 + pad // HOP) % scale:
+        pad += HOP
+    buf = np.zeros((1, pad), np.float32)
+    buf[:, :length] = audio
+    feats, flens = fe(buf, np.array([length]))
+    logp_off, out_lens = model.apply(variables, feats, flens, train=False)
+    emitted, total_valid = _run_stream(sw, audio, np.array([length]))
+    v = int(total_valid[0])
+    assert v == int(out_lens[0])
+    np.testing.assert_allclose(emitted[0, :v], np.asarray(logp_off)[0, :v],
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_long_stream_state_stays_bounded(small):
     """40 steady chunks: carries keep constant shapes, outputs stay finite,
     and the tail still matches offline (no cross-chunk state drift)."""
