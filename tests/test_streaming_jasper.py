@@ -242,6 +242,32 @@ def test_jasper_artifact_cli(tmp_path):
     assert result['streaming'] is True and 'wer' in result
 
 
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_jasper_structure_fuzz(seed):
+    """Random block structures (even/odd kernels, repeats, separable mix,
+    residual modes, dilation, dense panes) must plan and stream exactly."""
+    rng = np.random.default_rng(200 + seed)
+    blocks = [{'layer_size': 10, 'kernel_size': int(rng.integers(4, 12)),
+               'stride': 2, 'residual': False,
+               'separable': bool(rng.integers(0, 2))}]
+    for _ in range(int(rng.integers(1, 4))):
+        blocks.append({
+            'layer_size': int(rng.choice([10, 12])),
+            'kernel_size': int(rng.integers(2, 12)),
+            'stride': 1,
+            'dilation': int(rng.choice([1, 1, 2])),
+            'repeat': int(rng.integers(1, 3)),
+            'residual': bool(rng.integers(0, 2)),
+            'residual_dense': bool(rng.integers(0, 2)),
+            'residual_mode': str(rng.choice(['add', 'max'])),
+            'separable': bool(rng.integers(0, 2)),
+        })
+    for b in blocks:
+        if b.get('dilation', 1) > 1 and b.get('stride', 1) > 1:
+            b['dilation'] = 1
+    _parity(blocks, [int(rng.integers(0, 2560))], seed=seed)
+
+
 def test_jasper_unsupported_configs():
     model, variables, frontend = _build(JASPER_SMALL)
     bad = [dict(JASPER_SMALL[0]), dict(JASPER_SMALL[1])]
