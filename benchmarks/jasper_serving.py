@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Jasper-family serving latency/throughput on the ambient accelerator.
+
+Companion to serving_latency.py (which covers the Wav2Letter flagship):
+the full 15-block separable Jasper at its real widths — batch-32 offline
+inference throughput plus streaming step latency at 1 and 16 streams for
+f32 / int8 / int8_full weights. Writes benchmarks/jasper_serving.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SECONDS = 8
+SR = 16000
+CHUNK_FRAMES = 64
+
+
+def _timeit(fn, sync, reps=20, warmup=3):
+    for _ in range(warmup):
+        out = fn()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    from wav2letter_pytorch_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_pytorch_tpu.config import load_config
+    from wav2letter_pytorch_tpu.serving import StreamingJasper
+    from wav2letter_pytorch_tpu.training import (build_frontend,
+                                                 build_labels, build_model)
+
+    cfg = load_config(['data.train_manifest=u', 'data.val_manifest=u',
+                       'model=jasper', 'model.mid_layers=15'])
+    labels = build_labels(cfg.model)
+    model = build_model(cfg.model, num_labels=len(labels))
+    frontend = build_frontend(cfg.model, dither=0.0)
+    blocks = [dict(b) for b in cfg.model.jasper_blocks][:15]
+
+    rng = np.random.default_rng(0)
+    t_samples = SECONDS * SR
+    audio = (rng.standard_normal((1, t_samples)) * 0.1).astype(np.float32)
+    feats, flens = frontend(audio, np.array([t_samples]))
+    variables = jax.device_get(jax.jit(
+        lambda f, l: model.init(jax.random.PRNGKey(0), f, l,
+                                train=False))(feats, flens))
+
+    # Batch-32 offline inference (eval-mode apply; jasper has no separate
+    # folded offline path — the training module IS the offline server).
+    B32 = 32
+    feats32 = jnp.asarray(np.repeat(np.asarray(feats), B32, axis=0))
+    lens32 = jnp.asarray(np.full(B32, int(flens[0]), np.int32))
+    apply_fn = jax.jit(lambda v, f, l: model.apply(v, f, l, train=False)[0])
+    dvars = jax.device_put(variables)
+    ms32 = _timeit(lambda: apply_fn(dvars, feats32, lens32),
+                   lambda o: float(o[0, 0, 0]), reps=10) * 1e3
+    offline = {'batch': B32, 'ms_per_batch': round(ms32, 2),
+               'utt_per_sec': round(B32 / (ms32 / 1e3), 1),
+               'audio_sec_per_sec': round(B32 * SECONDS / (ms32 / 1e3), 0)}
+
+    stream = {}
+    for mode in ('f32', 'int8', 'int8_full'):
+        sj = StreamingJasper(blocks, len(labels), variables, frontend,
+                             chunk_frames=CHUNK_FRAMES, weights=mode)
+        stream[mode] = {'prime_s': round(sj.prime_samples / SR, 2),
+                        'lookahead_s': round(sj.lookahead_frames * 0.01, 2)}
+        for B in (1, 16):
+            sess = sj.start(B)
+            sess.feed((rng.standard_normal((B, sj.prime_samples)) * 0.1)
+                      .astype(np.float32))
+            chunk = jax.device_put(
+                (rng.standard_normal((B, sj.chunk_samples)) * 0.1)
+                .astype(np.float32))
+            state, step, w = sess._state, sj._step_fn, sj._weights_dev
+            ms = _timeit(lambda: step(w, state, chunk),
+                         lambda o: float(o[1][0, 0, 0])) * 1e3
+            stream[mode][f'step_ms_b{B}'] = round(ms, 3)
+            stream[mode][f'streams_per_chip_b{B}'] = int(
+                B * CHUNK_FRAMES * 10 / ms)
+
+    out = {'metric': 'jasper15_serving', 'offline_b32': offline,
+           'streaming': stream, 'device': str(jax.devices()[0])}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'jasper_serving.json'), 'w') as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
