@@ -373,7 +373,8 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
     """Per-utterance evaluation through the streaming serving path."""
     import jax
     from wav2letter_pytorch_tpu.decoding import (DeviceBeamDecoder,
-                                                 PrefixBeamSearchLMDecoder)
+                                                 PrefixBeamSearchLMDecoder,
+                                                 get_time_per_word)
     from wav2letter_pytorch_tpu.serving import StreamingWav2Letter
     from wav2letter_pytorch_tpu.training import build_frontend
     from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
@@ -432,7 +433,16 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
             probs = logp if emits_probs else np.exp(logp)
             decoded = decoder.decode(probs[0])
         else:
-            decoded = decoder.decode(logp)[0]
+            decoded, offsets = decoder.decode(logp, return_offsets=True)
+            decoded = decoded[0]
+            if args.word_timings:
+                frame_seconds = (float(cfg.model.audio_conf.window_stride)
+                                 * model.scaling_factor)
+                times = get_time_per_word(list(decoded),
+                                          offsets[0].tolist(),
+                                          ratio=frame_seconds)
+                print('timings  : ' + ' '.join(
+                    f'{w0}[{s0:.2f}-{e0:.2f}]' for w0, s0, e0 in times))
         c, cd = decoder.cer_ratio(text, decoded)
         w, wd = decoder.wer_ratio(text, decoded)
         acc.add('cer', c, cd)

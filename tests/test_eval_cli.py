@@ -65,13 +65,16 @@ def test_eval_cli_streaming(trained_run, capsys):
     import test as test_cli
     rc = test_cli.main(['--model-path', run_dir,
                         '--test-manifest', manifest,
-                        '--streaming', '--streaming-chunk-frames', '8'])
+                        '--streaming', '--streaming-chunk-frames', '8',
+                        '--word-timings'])
     assert rc == 0
-    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out = capsys.readouterr().out
+    result = json.loads(out.strip().splitlines()[-1])
     assert result['streaming'] is True
     assert result['num_utterances'] == 6
     assert result['offline_fallback'] == 0   # all utterances streamed
     assert 'wer' in result and 'cer' in result
+    assert 'timings' in out
 
 
 def test_eval_cli_streaming_int8(trained_run, capsys):
