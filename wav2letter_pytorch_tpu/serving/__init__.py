@@ -1,9 +1,23 @@
-"""Serving / inference runtime: streaming sessions and quantized paths.
+"""Serving / inference runtime — the production layer the reference lacks.
 
-The reference has no serving surface (training-only; README.md:46-47 marks
-even offline eval "WIP"). This subpackage is the TPU-native production
-inference layer: chunked stateful streaming with compiled fixed-shape phase
-programs (streaming.py) and BatchNorm-folded fused conv blocks.
+The reference is training-only (its README marks even offline eval "WIP",
+/root/reference/README.md:46-47). This subpackage is the TPU-native
+inference stack:
+
+* ``streaming`` / ``streaming_jasper`` — chunked stateful sessions for
+  both model families through three compiled fixed-shape phase programs,
+  with exact offline parity; incremental greedy (``StreamingTranscriber``,
+  word timings) and LM-fused beam (``StreamingBeamTranscriber``) text;
+* ``infer`` — BN-folded fused offline forward, plus full-int8 MXU
+  inference (``offline_forward_q8``);
+* ``quantize`` — per-channel int8 weights and static activation-scale
+  calibration;
+* ``export`` — self-contained serving artifacts (weights + CMVN +
+  calibration) for both families;
+* ``parallel_infer`` — mesh-sharded batched inference (``MeshInference``);
+* ``server`` — dynamic multi-stream batching (``StreamMultiplexer``).
+
+See docs/SERVING.md for the end-to-end guide and measured numbers.
 """
 
 from .export import (compute_cmvn, export_serving, export_serving_jasper,
