@@ -6,6 +6,8 @@ Parity surface: /root/reference/examples/check_requirements.py.
 
 REQUIRED = ['jax', 'flax', 'optax', 'orbax.checkpoint', 'numpy', 'pandas',
             'yaml', 'wav2letter_pytorch_tpu']
+# soundfile is only needed for formats beyond WAV/FLAC — the framework has
+# its own FLAC decoder (wav2letter_pytorch_tpu/data/flac.py, native/flac.cpp).
 OPTIONAL = ['tensorboardX', 'soundfile', 'kenlm']
 
 

@@ -1,9 +1,12 @@
 """Audio file I/O with offset/duration seeking.
 
 Replaces the reference's soundfile dependency (/root/reference/data/
-data_loader.py:20-31) with a stdlib/scipy WAV reader; non-WAV formats
-(e.g. LibriSpeech FLAC) go through soundfile when it is installed — the
-import is lazy and optional.
+data_loader.py:20-31) with a stdlib WAV reader plus the framework's own
+FLAC decoder (native C++ fast path, pure-Python fallback — see
+``flac.py``/``flac_native.py``), so LibriSpeech ``.flac`` manifests
+(/root/reference/data/prepare_librispeech.py:33-38) ingest with zero
+third-party audio dependencies.  Other formats go through soundfile when
+it is installed — that import stays lazy and optional.
 """
 
 from __future__ import annotations
@@ -49,10 +52,38 @@ def load_audio(path: str, duration: float = -1, offset: float = 0) -> np.ndarray
     return samples
 
 
+def read_flac(path: str, duration: float = -1, offset: float = 0):
+    """Read a FLAC file -> (float32 samples in [-1, 1], sample_rate).
+
+    Decodes through the native C++ decoder when available, else the
+    pure-Python reference decoder; both are first-party (no soundfile).
+    FLAC frames are not independently seekable without a seektable, so
+    ``offset``/``duration`` slice the decoded signal — identical samples to
+    the reference's container-level seek.
+    """
+    from . import flac as _flac
+    from . import flac_native as _flac_native
+    with open(path, 'rb') as f:
+        data = f.read()
+    nat = _flac_native.decode_native(data)
+    if nat is not None:
+        samples, rate, bps = nat
+    else:
+        samples, info = _flac.decode_flac(data)
+        rate, bps = info.sample_rate, info.bits_per_sample
+    out = samples.astype(np.float32) / float(1 << (bps - 1))
+    out = out.mean(axis=1) if out.shape[1] > 1 else out[:, 0]
+    start = min(int(offset * rate), len(out)) if offset > 0 else 0
+    end = start + int(duration * rate) if duration > 0 else len(out)
+    return out[start:end], rate
+
+
 def read_audio(path: str, duration: float = -1, offset: float = 0):
     ext = os.path.splitext(path)[1].lower()
     if ext == '.wav':
         return read_wav(path, duration, offset)
+    if ext == '.flac':
+        return read_flac(path, duration, offset)
     try:
         import soundfile as sf
     except ImportError as e:
@@ -79,6 +110,12 @@ def audio_info(path: str):
     if ext == '.wav':
         with wave.open(path, 'rb') as f:
             return f.getnframes(), f.getframerate()
+    if ext == '.flac':
+        from . import flac as _flac
+        with open(path, 'rb') as f:
+            head = f.read(65536)
+        info = _flac.read_flac_info(head)
+        return info.total_samples, info.sample_rate
     import soundfile as sf
     info = sf.info(path)
     return info.frames, info.samplerate
