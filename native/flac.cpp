@@ -384,3 +384,256 @@ int64_t flac_decode_all(const uint8_t* data, int64_t len, int32_t* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Encoder (fixed predictors + Rice): the fast path for offline corpus
+// construction (scripts/make_offline_corpus.py).  The Python encoder in
+// flac.py is richer (LPC, stereo decorrelation, forced paths) but loops
+// per-sample in Python; this one exists so building thousands of FLAC
+// utterances offline is IO-bound, not encoder-bound.  Streams it produces
+// are decoded by both decoders in the round-trip tests.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap;
+  int64_t byte = 0;
+  int bit = 0;  // bits already used in out[byte]
+  bool overflow = false;
+
+  BitWriter(uint8_t* o, int64_t c) : out(o), cap(c) {}
+
+  inline void write(uint64_t value, int bits) {
+    while (bits > 0) {
+      if (byte >= cap) { overflow = true; return; }
+      if (bit == 0) out[byte] = 0;
+      int avail = 8 - bit;
+      int take = bits < avail ? bits : avail;
+      uint8_t chunk = (uint8_t)((value >> (bits - take)) & ((1u << take) - 1));
+      out[byte] |= chunk << (avail - take);
+      bit += take;
+      bits -= take;
+      if (bit == 8) { bit = 0; ++byte; }
+    }
+  }
+
+  inline void write_unary(int64_t n) {
+    while (n >= 32) { write(0, 32); n -= 32; }
+    write(1, (int)n + 1);
+  }
+
+  inline void align() { if (bit) write(0, 8 - bit); }
+};
+
+inline uint64_t zigzag64(int64_t v) {
+  return ((uint64_t)v << 1) ^ (uint64_t)(v >> 63);
+}
+
+void write_utf8_number(BitWriter& w, uint64_t value) {
+  if (value < 0x80) { w.write(value, 8); return; }
+  static const int kBits[] = {11, 16, 21, 26, 31, 36};
+  for (int i = 0; i < 6; ++i) {
+    int nbytes = i + 2;
+    if (value < (1ull << kBits[i])) {
+      uint64_t lead = (0xFFu << (8 - nbytes)) & 0xFF;
+      w.write(lead | (value >> (6 * (nbytes - 1))), 8);
+      for (int j = nbytes - 2; j >= 0; --j)
+        w.write(0x80 | ((value >> (6 * j)) & 0x3F), 8);
+      return;
+    }
+  }
+}
+
+int best_rice_param(const uint64_t* uz, int64_t n, int64_t* cost_out) {
+  if (n == 0) { *cost_out = 0; return 0; }
+  uint64_t sum = 0;
+  for (int64_t i = 0; i < n; ++i) sum += uz[i];
+  double mean = (double)sum / (double)n;
+  int guess = 0;
+  while (guess < 30 && (1ull << (guess + 1)) < (uint64_t)(mean + 1)) ++guess;
+  int best = guess;
+  int64_t best_cost = INT64_MAX;
+  for (int p = guess > 0 ? guess - 1 : 0; p <= guess + 2 && p <= 30; ++p) {
+    int64_t c = 0;
+    for (int64_t i = 0; i < n; ++i) c += (int64_t)(uz[i] >> p);
+    c += n * (p + 1);
+    if (c < best_cost) { best_cost = c; best = p; }
+  }
+  *cost_out = best_cost;
+  return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode interleaved int32 PCM (mono or independent channels) to FLAC with
+// fixed predictors.  Returns bytes written or a negative error.
+int64_t flac_encode_fixed(const int32_t* samples, int64_t n, int channels,
+                          int64_t sample_rate, int bps, int64_t blocksize,
+                          const uint8_t* md5_16, uint8_t* out, int64_t cap) {
+  if (channels < 1 || channels > 8 || bps < 4 || bps > 32) return kErrBadStream;
+  BitWriter w(out, cap);
+  w.write(0x664C6143u, 32);  // "fLaC"
+  // STREAMINFO (last metadata block). min/max framesize left 0 (unknown).
+  w.write(0x80, 8);
+  w.write(34, 24);
+  int64_t min_bs = n < blocksize && n > 0 ? n : blocksize;
+  int64_t last_bs = n % blocksize ? n % blocksize : blocksize;
+  if (n > 0 && last_bs < min_bs) min_bs = last_bs;
+  w.write((uint64_t)min_bs, 16);
+  w.write((uint64_t)blocksize, 16);
+  w.write(0, 24);
+  w.write(0, 24);
+  w.write((uint64_t)sample_rate, 20);
+  w.write((uint64_t)(channels - 1), 3);
+  w.write((uint64_t)(bps - 1), 5);
+  w.write((uint64_t)n, 36);
+  for (int i = 0; i < 16; ++i) w.write(md5_16 ? md5_16[i] : 0, 8);
+
+  std::vector<int64_t> x, res[5];
+  std::vector<uint64_t> uz;
+  int64_t frame_index = 0;
+  for (int64_t start = 0; start < n; start += blocksize, ++frame_index) {
+    int64_t bs = n - start < blocksize ? n - start : blocksize;
+    int64_t header_start = w.byte;
+    w.write(0x3FFE, 14);
+    w.write(0, 1);
+    w.write(0, 1);  // fixed blocksize strategy
+    int bs_code;
+    switch (bs) {
+      case 192: bs_code = 1; break;
+      case 576: bs_code = 2; break;
+      case 1152: bs_code = 3; break;
+      case 2304: bs_code = 4; break;
+      case 4608: bs_code = 5; break;
+      case 256: bs_code = 8; break;
+      case 512: bs_code = 9; break;
+      case 1024: bs_code = 10; break;
+      case 2048: bs_code = 11; break;
+      case 4096: bs_code = 12; break;
+      case 8192: bs_code = 13; break;
+      case 16384: bs_code = 14; break;
+      case 32768: bs_code = 15; break;
+      default: bs_code = bs <= 256 ? 6 : 7;
+    }
+    w.write((uint64_t)bs_code, 4);
+    int sr_code;
+    switch (sample_rate) {
+      case 88200: sr_code = 1; break;
+      case 176400: sr_code = 2; break;
+      case 192000: sr_code = 3; break;
+      case 8000: sr_code = 4; break;
+      case 16000: sr_code = 5; break;
+      case 22050: sr_code = 6; break;
+      case 24000: sr_code = 7; break;
+      case 32000: sr_code = 8; break;
+      case 44100: sr_code = 9; break;
+      case 48000: sr_code = 10; break;
+      case 96000: sr_code = 11; break;
+      default: sr_code = sample_rate < 65536 ? 13 : 0;
+    }
+    w.write((uint64_t)sr_code, 4);
+    w.write((uint64_t)(channels - 1), 4);
+    int ss_code;
+    switch (bps) {
+      case 8: ss_code = 1; break;
+      case 12: ss_code = 2; break;
+      case 16: ss_code = 4; break;
+      case 20: ss_code = 5; break;
+      case 24: ss_code = 6; break;
+      case 32: ss_code = 7; break;
+      default: ss_code = 0;
+    }
+    w.write((uint64_t)ss_code, 3);
+    w.write(0, 1);
+    write_utf8_number(w, (uint64_t)frame_index);
+    if (bs_code == 6) w.write((uint64_t)(bs - 1), 8);
+    else if (bs_code == 7) w.write((uint64_t)(bs - 1), 16);
+    if (sr_code == 13) w.write((uint64_t)sample_rate, 16);
+    if (w.overflow) return kErrCapacity;
+    w.align();  // header is always whole bytes here
+    w.write(crc8(out + header_start, w.byte - header_start), 8);
+
+    for (int c = 0; c < channels; ++c) {
+      x.resize(bs);
+      for (int64_t i = 0; i < bs; ++i) x[i] = samples[(start + i) * channels + c];
+      // Constant subframe?
+      bool constant = true;
+      for (int64_t i = 1; i < bs && constant; ++i) constant = x[i] == x[0];
+      if (constant) {
+        w.write(0, 1); w.write(0, 6); w.write(0, 1);
+        w.write((uint64_t)x[0] & ((1ull << bps) - 1), bps);
+        continue;
+      }
+      // Fixed orders 0..4: pick by sum |residual| proxy.
+      int max_order = bs - 1 < 4 ? (int)(bs - 1) : 4;
+      res[0].assign(x.begin(), x.end());
+      unsigned best_order = 0;
+      double best_sum = 1e300;
+      for (int o = 0; o <= max_order; ++o) {
+        if (o > 0) {
+          res[o].resize(bs - o);
+          for (int64_t i = 0; i < bs - o; ++i)
+            res[o][i] = res[o - 1][i + 1] - res[o - 1][i];
+        }
+        double s = 0;
+        for (int64_t v_i = 0; v_i < (int64_t)res[o].size(); ++v_i)
+          s += (double)(res[o][v_i] < 0 ? -res[o][v_i] : res[o][v_i]);
+        if (s < best_sum) { best_sum = s; best_order = o; }
+      }
+      int order = best_order;
+      const std::vector<int64_t>& r = res[order];
+      w.write(0, 1); w.write((uint64_t)(8 + order), 6); w.write(0, 1);
+      for (int i = 0; i < order; ++i)
+        w.write((uint64_t)x[i] & ((1ull << bps) - 1), bps);
+      // Residual: partition order up to 3 where divisible.
+      int porder = 0;
+      while (porder < 3 && bs % (1ll << (porder + 1)) == 0 &&
+             (bs >> (porder + 1)) > order)
+        ++porder;
+      uz.resize(r.size());
+      for (size_t i = 0; i < r.size(); ++i) uz[i] = zigzag64(r[i]);
+      // Pick params per partition; RICE2 if any param needs >= 15.
+      int64_t nparts = 1ll << porder;
+      int64_t psize = bs >> porder;
+      int params[8];
+      bool need_rice2 = false;
+      int64_t off = 0;
+      for (int64_t p = 0; p < nparts; ++p) {
+        int64_t count = p == 0 ? psize - order : psize;
+        int64_t cost;
+        params[p] = best_rice_param(uz.data() + off, count, &cost);
+        if (params[p] >= 15) need_rice2 = true;
+        off += count;
+      }
+      int method = need_rice2 ? 1 : 0;
+      int pbits = need_rice2 ? 5 : 4;
+      w.write((uint64_t)method, 2);
+      w.write((uint64_t)porder, 4);
+      off = 0;
+      for (int64_t p = 0; p < nparts; ++p) {
+        int64_t count = p == 0 ? psize - order : psize;
+        int param = params[p];
+        w.write((uint64_t)param, pbits);
+        for (int64_t i = 0; i < count; ++i) {
+          uint64_t u = uz[off + i];
+          w.write_unary((int64_t)(u >> param));
+          if (param) w.write(u & ((1ull << param) - 1), param);
+        }
+        off += count;
+        if (w.overflow) return kErrCapacity;
+      }
+    }
+    w.align();
+    if (w.overflow) return kErrCapacity;
+    uint16_t fcrc = crc16(out + header_start, w.byte - header_start);
+    w.write(fcrc, 16);
+  }
+  if (w.overflow) return kErrCapacity;
+  return w.byte;
+}
+
+}  // extern "C"

@@ -181,6 +181,29 @@ def test_native_matches_python_on_fuzz():
         np.testing.assert_array_equal(py, want)
 
 
+def test_native_encoder_roundtrip():
+    """The C++ fixed-predictor encoder's streams decode exactly in both
+    decoders (incl. MD5 verification of its STREAMINFO digest)."""
+    if not flac_native.native_available():
+        pytest.skip('native library unavailable')
+    rng = np.random.default_rng(4)
+    cases = [
+        _sine(), rng.integers(-32768, 32768, 20000), np.full(5000, -3),
+        np.zeros(100, np.int64), np.array([1, 2, 3]),
+        np.stack([_sine(9000), np.roll(_sine(9000), 2)], axis=1),
+    ]
+    for x in cases:
+        data = flac_native.encode_native(x, 16000)
+        py, _ = flac.decode_flac(data, verify_crc=True, verify_md5=True)
+        ns, _, _ = flac_native.decode_native(data)
+        want = x[:, None] if x.ndim == 1 else x
+        np.testing.assert_array_equal(py, want)
+        np.testing.assert_array_equal(ns, want)
+    data = flac_native.encode_native(_sine(3000), 12345, blocksize=1000)
+    _, info = flac.decode_flac(data)
+    assert info.sample_rate == 12345
+
+
 def test_dataset_ingests_flac_manifest(tmp_path):
     """End-to-end: a manifest of .flac files flows through ManifestDataset."""
     import json

@@ -54,6 +54,11 @@ def _load_native():
         lib.flac_decode_all.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int]
+        lib.flac_encode_fixed.restype = ctypes.c_int64
+        lib.flac_encode_fixed.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -103,3 +108,37 @@ def decode_native(data: bytes, verify_crc: bool = True):
     n_dec = min(int(rc), n)
     return (out[:n_dec * ch].reshape(n_dec, ch), info['sample_rate'],
             info['bits_per_sample'])
+
+
+def encode_native(samples: np.ndarray, sample_rate: int,
+                  bits_per_sample: int = 16, blocksize: int = 4096):
+    """Encode via the C++ fixed-predictor encoder -> bytes, or None.
+
+    The fast path for offline corpus construction; the Python encoder in
+    :mod:`.flac` stays the full-featured one (LPC, stereo decorrelation,
+    forced subframe paths for decoder testing).
+    """
+    import hashlib
+    lib = _load_native()
+    if lib is None:
+        return None
+    x = np.asarray(samples)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    x32 = np.ascontiguousarray(x, dtype=np.int32)
+    width = max(1, (bits_per_sample + 7) // 8)
+    inter = x32.reshape(-1).astype(np.int64)
+    raw = np.zeros((len(inter), width), dtype=np.uint8)
+    for i in range(width):
+        raw[:, i] = (inter >> (8 * i)) & 0xFF
+    md5 = hashlib.md5(raw.tobytes()).digest()
+    cap = 64 + n * ch * 6 + 1024  # worst case ~ verbatim + headers
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.flac_encode_fixed(
+        x32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, ch,
+        sample_rate, bits_per_sample, blocksize, md5,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if rc < 0:
+        raise ValueError(f'FLAC encode: {_ERRORS.get(rc, rc)}')
+    return out[:rc].tobytes()
