@@ -309,7 +309,10 @@ def run_artifact_eval(args):
         if args.print_all or (args.print_samples and i == 0):
             print(f'reference: {text}')
             print(f'decoded  : {decoded}')
-    result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
+    # num_utterances = utterances the WER/CER actually cover (utterances
+    # shorter than the prime window are skipped, not silently included).
+    result = {'loss': None, 'num_utterances': len(ds) - n_skipped,
+              'num_in_manifest': len(ds), 'streaming': True,
               'artifact': args.artifact, 'weights': meta['format'],
               'skipped_below_prime': n_skipped}
     result.update(acc.ratios())

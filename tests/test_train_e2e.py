@@ -250,6 +250,50 @@ def test_resume_respects_epoch_budget(tmp_path):
     assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 3
 
 
+def test_resume_epoch_survives_manifest_change(tmp_path):
+    """The epoch is persisted IN the checkpoint metadata, so resuming
+    against an edited manifest (different len(train_loader)) keeps the
+    epoch schedule instead of re-deriving it from step // loader_len."""
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    import train as train_cli
+
+    manifest2 = _make_corpus(tmp_path, n=2, seed=5)
+    run_dir = tmp_path / 'resume_manifest_run'
+
+    def overrides(manifest):
+        return [
+            f'data.train_manifest={manifest}',
+            f'data.val_manifest={manifest}',
+            'data.batch_size=2', 'data.num_length_buckets=1',
+            'model.input_size=32',
+            'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+            'dilation: 1, dropout: 0.1}]',
+            'trainer.string_metrics_interval=0', 'trainer.mesh.data=2',
+            f'trainer.default_root_dir={run_dir}',
+        ]
+
+    # 2 epochs x 1 step/epoch on the 2-utterance manifest.
+    assert train_cli.main(overrides(manifest2) + ['trainer.max_epochs=2']) == 0
+    ck = Checkpointer(f'{run_dir}/checkpoints')
+    assert ck.latest_step() == 2
+    assert ck.load_extra() == {'epoch': 2}
+
+    # Resume against a GROWN manifest (4 utterances -> 2 steps/epoch).
+    # step // len(loader) = 2 // 2 = 1 would wrongly replay epoch 1; the
+    # persisted epoch=2 means the budget is already spent.
+    bigger = tmp_path / 'bigger'
+    bigger.mkdir()
+    manifest4 = _make_corpus(bigger, n=4, seed=6)
+    assert train_cli.main(overrides(manifest4)
+                          + ['trainer.max_epochs=2', '--resume']) == 0
+    assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 2
+
+    # One more epoch of the new 2-step loader: step 2 -> 4.
+    assert train_cli.main(overrides(manifest4)
+                          + ['trainer.max_epochs=3', '--resume']) == 0
+    assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 4
+
+
 def test_steps_per_dispatch_equivalence(tmp_path):
     """trainer.steps_per_dispatch=2 (device-side lax.scan over step-stacked
     batches) must produce EXACTLY the same training as single-step dispatch:

@@ -249,7 +249,9 @@ class _FrontendStreaming:
         """First window: reflect-left prime. Returns
         (preemph_last, fe_carry, norm_state, feats [B, n, M])."""
         import jax.numpy as jnp
-        x = self._preemph(audio, audio[:, :1])
+        # prev=0 so x[0] stays unchanged, matching the offline frontend's
+        # first-sample-unchanged convention (features.py:235-240).
+        x = self._preemph(audio, jnp.zeros_like(audio[:, :1]))
         left = x[:, 1:self.n_fft // 2 + 1][:, ::-1]
         buf = jnp.concatenate([left, x], axis=1)
         n = (buf.shape[1] - self.n_fft) // self.hop + 1
@@ -355,12 +357,10 @@ class StreamingWav2Letter(_FrontendStreaming):
         for l in self._layer_cfg:
             k, s, d = (int(l['kernel_size']), int(l.get('stride', 1)),
                        int(l.get('dilation', 1)))
-            # SAME pad for an even-length input at this layer (models/
-            # base.py:27-38 with t_in even): out = t/s, pad = (t/s-1)s
-            # + (k-1)d + 1 - t.
-            t = 1 << 20  # any large even number; pad is t-independent then
-            out_t = t // s
-            pad = max(0, (out_t - 1) * s + (k - 1) * d + 1 - t)
+            # SAME pad for a stride-divisible input length at this layer
+            # (models/base.py:27-38 with s | t_in): out = t/s, so
+            # pad = (t/s-1)s + (k-1)d + 1 - t = (k-1)d + 1 - s, length-free.
+            pad = max(0, (k - 1) * d + 1 - s)
             specs.append(_LayerSpec(k, s, d, pad // 2, padding_mode))
         specs.append(_LayerSpec(1, 1, 1, 0, padding_mode))  # 1x1 head
         self._specs = specs

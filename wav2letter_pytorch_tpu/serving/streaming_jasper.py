@@ -272,10 +272,16 @@ class StreamingJasper(_FrontendStreaming):
             h = x
             for r, ops in enumerate(blk['reps']):
                 for op in ops:
-                    if op['mask'] and x_frames is not None and op['k'] > 1:
+                    if op['mask'] and x_frames is not None and (
+                            op['k'] > 1 or self._act_int8):
                         # Zero input frames beyond this sample's length
                         # (reference zero-fill, jasper.py:90-94). Carry
                         # frames are always valid; only new frames mask.
+                        # k==1 convs don't mix frames, so f32 skips them —
+                        # but int8_full's dynamic_act_scale is a global
+                        # max-reduction over buf, and conv(garbage) values
+                        # in invalid frames would stretch the quantization
+                        # grid for the valid ones; mask before every op.
                         cnt = jnp.floor(op['len_a'] * x_frames
                                         + op['len_b']) - op['prime_in']
                         m = (jnp.arange(h.shape[1])[None, :]

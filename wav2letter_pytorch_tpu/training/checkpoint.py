@@ -31,15 +31,37 @@ class Checkpointer:
             best_fn=(lambda m: m.get(monitor, sentinel)) if monitor else None,
             best_mode=mode if monitor else 'max')
         self._monitor = monitor
-        self._mgr = ocp.CheckpointManager(os.path.abspath(directory),
-                                          options=options)
+        self._dir = os.path.abspath(directory)
+        self._mgr = ocp.CheckpointManager(self._dir, options=options)
 
-    def save(self, step: int, state, metrics: dict | None = None) -> None:
+    def save(self, step: int, state, metrics: dict | None = None,
+             extra: dict | None = None) -> None:
+        """``extra``: small JSON metadata persisted alongside the step
+        (e.g. the epoch counter, so resume never has to infer it from
+        ``step // len(train_loader)`` — a manifest edit between runs would
+        silently shift the epoch/shuffle replay otherwise)."""
         kwargs = {}
         if self._monitor and metrics and self._monitor in metrics:
             kwargs['metrics'] = {k: float(v) for k, v in metrics.items()}
         self._mgr.save(step, args=ocp.args.StandardSave(state), **kwargs)
         self._mgr.wait_until_finished()
+        if extra is not None:
+            import json
+            tmp = os.path.join(self._dir, f'meta_{step}.json.tmp')
+            with open(tmp, 'w') as f:
+                json.dump(extra, f)
+            os.replace(tmp, os.path.join(self._dir, f'meta_{step}.json'))
+
+    def load_extra(self, step: int | None = None) -> dict:
+        """The ``extra`` metadata saved with ``step`` (default: latest);
+        ``{}`` for checkpoints written before this existed."""
+        import json
+        step = self._mgr.latest_step() if step is None else step
+        path = os.path.join(self._dir, f'meta_{step}.json')
+        if step is None or not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
 
     def latest_step(self):
         return self._mgr.latest_step()

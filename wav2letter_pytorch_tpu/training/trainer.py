@@ -258,16 +258,22 @@ class Trainer:
         if resume and self._ckpt.latest_step() is not None:
             self.state = self._ckpt.restore(self.state)
             print(f'Resumed from step {int(self.state.step)}')
-            # Derive the epoch from the restored step so a resumed run
-            # finishes the ORIGINAL max_epochs budget (and replays the
-            # correct per-epoch shuffle orders) instead of training
-            # max_epochs more from wherever it stopped.
-            try:
-                steps_per_epoch = len(train_loader)
-            except TypeError:
-                steps_per_epoch = 0
-            if steps_per_epoch:
-                start_epoch = int(self.state.step) // steps_per_epoch
+            # Resume into the epoch persisted WITH the checkpoint, so a
+            # resumed run finishes the ORIGINAL max_epochs budget and
+            # replays the correct per-epoch shuffle orders even if the
+            # manifest (and hence len(train_loader)) changed between runs.
+            extra = self._ckpt.load_extra()
+            if 'epoch' in extra:
+                start_epoch = int(extra['epoch'])
+            else:
+                # Pre-metadata checkpoint: fall back to deriving the epoch
+                # from the restored step and the CURRENT loader length.
+                try:
+                    steps_per_epoch = len(train_loader)
+                except TypeError:
+                    steps_per_epoch = 0
+                if steps_per_epoch:
+                    start_epoch = int(self.state.step) // steps_per_epoch
             if hasattr(train_loader, 'epoch'):
                 train_loader.epoch = start_epoch
 
@@ -397,7 +403,7 @@ class Trainer:
                     f'{k}={v:.4f}' for k, v in val.items()))
             if (epoch + 1) % self.ckpt_every == 0:
                 self._ckpt.save(step, jax.device_get(self.state),
-                                metrics=val)
+                                metrics=val, extra={'epoch': epoch + 1})
             if self.max_steps is not None and step >= int(self.max_steps):
                 break
         profile_scope.__exit__(None, None, None)
