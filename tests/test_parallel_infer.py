@@ -63,3 +63,22 @@ def test_mesh_inference_errors(setup):
         mi.logprobs(audio[:3], lengths[:3])
     with pytest.raises(ValueError, match='int8_full'):
         MeshInference(SMALL_LAYERS, folded, frontend, mode='int8_full')
+
+
+def test_scaling_benchmark_smoke(tmp_path):
+    """benchmarks/scaling.py (the dormant multi-chip scaling benchmark)
+    compiles and executes its sharded train + MeshInference programs at
+    several mesh sizes on the CPU test mesh."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'benchmarks'))
+    import scaling
+    out = tmp_path / 'scaling.json'
+    assert scaling.main(['--cpu-smoke', '--mesh-sizes', '1,2',
+                         '--out', str(out)]) == 0
+    result = json.loads(out.read_text())
+    assert set(result['train']) == {'1', '2'}
+    assert set(result['infer']) == {'1', '2'}
+    assert all(v > 0 for v in result['train'].values())
