@@ -67,7 +67,10 @@ double cond_logp(const ArpaModel& m, const std::vector<std::string>& words,
       auto it = m.grams[0].find("<unk>");
       if (it != m.grams[0].end()) return it->second.logp;
     }
-    return -99.0;  // kenlm-style floor for truly unknown unigrams
+    // No <unk> in the model: kenlm substitutes log10 -100 for unknown
+    // words when configured to load such ARPA files
+    // (lm::ngram::Config::unknown_missing_logprob default).
+    return -100.0;
   }
   double bo = 0.0;
   if (const Entry* ctx = find(m, words, begin, end - 1)) {
@@ -157,7 +160,7 @@ int w2l_arpa_order(void* handle) {
 // kenlm Model.score(sentence, bos=true, eos=true): log10 prob of the word
 // sequence with <s> context and a final </s> term.
 double w2l_arpa_score(void* handle, const char* sentence, int bos, int eos) {
-  if (!handle) return -99.0;
+  if (!handle) return -100.0;
   const ArpaModel& m = *static_cast<ArpaModel*>(handle);
   std::vector<std::string> words;
   if (bos) words.push_back("<s>");

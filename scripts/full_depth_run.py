@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Full-depth end-to-end run: train -> offline eval -> streaming/serving.
+
+The recorded real-audio pipeline proof for the north-star metric
+(BASELINE.md): full 20-layer Wav2Letter, NovoGrad, SpecAugment, trained
+with ``train.py`` on the FLAC corpus from scripts/make_offline_corpus.py,
+evaluated with ``test.py`` (greedy + beam + streaming + int8 artifact),
+mirroring the reference's de-facto end-to-end path
+(/root/reference/examples/librispeech.sh:5-8) with the download replaced
+by the offline corpus. Writes benchmarks/full_depth_run.json.
+
+    python scripts/make_offline_corpus.py --root /tmp/w2l_corpus
+    python scripts/full_depth_run.py --corpus-root /tmp/w2l_corpus
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_test_cli(args_list):
+    import test as test_cli
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = test_cli.main(args_list)
+    assert rc == 0, f'test.py failed: {args_list}'
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--corpus-root', default='/tmp/w2l_corpus')
+    parser.add_argument('--run-dir', default='/tmp/w2l_full_run')
+    parser.add_argument('--epochs', type=int, default=60)
+    parser.add_argument('--batch-size', type=int, default=16)
+    parser.add_argument('--lr', type=float, default=2e-3)
+    parser.add_argument('--mid-layers', type=int, default=20)
+    parser.add_argument('--skip-train', action='store_true')
+    parser.add_argument('--out', default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'benchmarks', 'full_depth_run.json'))
+    args = parser.parse_args(argv)
+
+    from wav2letter_pytorch_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    root = args.corpus_root
+    manifests = {s: os.path.join(root, f'{s}_manifest.csv')
+                 for s in ('train', 'val', 'test')}
+    results = {
+        'pipeline': 'make_offline_corpus (FLAC) -> train.py -> test.py '
+                    '-> serving artifact',
+        'model': f'wav2letter mid_layers={args.mid_layers}',
+        'optimizer': f'novograd lr={args.lr}', 'augment': 'spec_augment',
+        'epochs': args.epochs, 'batch_size': args.batch_size,
+    }
+
+    overrides = [
+        f'data.train_manifest={manifests["train"]}',
+        f'data.val_manifest={manifests["val"]}',
+        f'data.batch_size={args.batch_size}',
+        'data.num_length_buckets=3',
+        'optimizer=novograd', f'model.optimizer.lr={args.lr}',
+        'model.scheduler.gamma=0.985',
+        f'model.mid_layers={args.mid_layers}',
+        'data.augment={spec_augment: {freq_masks: 2, time_masks: 2, '
+        'freq_width: 10, time_width: 20}}',
+        f'trainer.max_epochs={args.epochs}',
+        'trainer.string_metrics_interval=50',
+        'trainer.log_every_n_steps=50',
+        'trainer.steps_per_dispatch=4',
+        'trainer.val_every_n_epochs=5',
+        'trainer.checkpoint.every_n_epochs=5',
+        f'trainer.default_root_dir={args.run_dir}',
+    ]
+    if not args.skip_train:
+        import train as train_cli
+        t0 = time.time()
+        rc = train_cli.main(overrides)
+        assert rc == 0
+        results['train_wall_seconds'] = round(time.time() - t0, 1)
+
+    # Offline eval (greedy) on val + test; beam search on test.
+    for split in ('val', 'test'):
+        m = run_test_cli(['--model-path', args.run_dir,
+                          '--test-manifest', manifests[split]])
+        results[f'{split}_greedy'] = m
+    results['test_beam'] = run_test_cli(
+        ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
+         '--beam-search-params', 'k=16,prune=0.0001'])
+
+    # Streaming serving path on the test split.
+    results['test_streaming'] = run_test_cli(
+        ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
+         '--streaming', '--streaming-chunk-frames', '64'])
+
+    # Exported artifact: offline f32 and full-int8 MXU inference.
+    from scripts.export_serving import main as export_main
+    artifact = os.path.join(args.run_dir, 'artifact')
+    export_main(['--model-path', args.run_dir, '--out', artifact,
+                 '--int8', '--cmvn-manifest', manifests['train'],
+                 '--calibrate'])
+    results['test_artifact_offline_int8full'] = run_test_cli(
+        ['--artifact', artifact, '--test-manifest', manifests['test'],
+         '--offline', '--int8-full'])
+
+    with open(args.out, 'w') as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -162,7 +162,7 @@ def test_jasper_dense_residual():
 
 
 def test_jasper_heads_and_groupshuffle():
-    blocks = [dict(layer_size=16, kernel_size=5, residual=False,
+    blocks = [dict(layer_size=16, kernel_size=5, residual=True,
                    separable=True, heads=4, groups=2)]
     model = Jasper(jasper_blocks=blocks, num_labels=10, mid_layers=1)
     x = jnp.ones((2, 32, 16))
@@ -170,3 +170,12 @@ def test_jasper_heads_and_groupshuffle():
                            train=False)
     out, _ = model.apply(variables, x, jnp.array([32, 20]), train=False)
     assert out.shape == (2, 32, 10)
+    params = variables['params']['block0']
+    # heads folds the depthwise conv to `heads` channels (jasper.py:124-130)
+    assert params['rep0_dw']['Conv_0']['kernel'].shape == (5, 1, 4)
+    # pointwise is grouped by the block's groups
+    assert params['rep0_pw']['Conv_0']['kernel'].shape == (1, 16 // 2, 16)
+    # residual 1x1 branches are PLAIN convs — the reference builds them
+    # with _get_conv_bn_layer defaults groups=1, heads=-1
+    # (jasper.py:241-257), NOT the block's groups/heads.
+    assert params['res0_conv']['Conv_0']['kernel'].shape == (1, 16, 16)

@@ -268,9 +268,133 @@ def test_jasper_structure_fuzz(seed):
     _parity(blocks, [int(rng.integers(0, 2560))], seed=seed)
 
 
+JASPER_GROUPS = [
+    {'layer_size': 12, 'kernel_size': 8, 'stride': 2, 'residual': False,
+     'separable': True},
+    {'layer_size': 16, 'kernel_size': 7, 'residual': True,
+     'separable': True, 'groups': 2, 'repeat': 2},
+    {'layer_size': 16, 'kernel_size': 5, 'residual': True,
+     'separable': False, 'groups': 4, 'residual_mode': 'max'},
+]
+
+JASPER_HEADS = [
+    {'layer_size': 12, 'kernel_size': 8, 'stride': 2, 'residual': False,
+     'separable': True, 'heads': 4},
+    {'layer_size': 12, 'kernel_size': 7, 'residual': True,
+     'separable': True, 'heads': 3, 'repeat': 2},
+]
+
+
+def test_jasper_stream_grouped_convs():
+    """groups>1 (+ GroupShuffle after every norm, incl. residual branches)
+    streams EXACTLY (reference jasper.py:135-151, 198-236)."""
+    _parity(JASPER_GROUPS, [911, 0], seed=11)
+
+
+def test_jasper_stream_heads():
+    """heads depthwise folding streams EXACTLY: equivalent full depthwise
+    conv with filters tiled as w[c % heads] (reference jasper.py:124-130)."""
+    _parity(JASPER_HEADS, [707], seed=12)
+
+
+def _norm_blocks(kind, ng=2):
+    return [
+        {'layer_size': 12, 'kernel_size': 8, 'stride': 2, 'residual': False,
+         'separable': True, 'normalization': kind, 'norm_groups': ng},
+        {'layer_size': 12, 'kernel_size': 7, 'residual': True,
+         'separable': True, 'repeat': 2, 'normalization': kind,
+         'norm_groups': ng},
+    ]
+
+
+@pytest.mark.parametrize('kind,ng', [('group', 2), ('group', -1),
+                                     ('instance', 1), ('layer', 1)])
+def test_jasper_stream_norm_variants(kind, ng):
+    """group/instance/layer norm streaming: torch/flax GroupNorm reduces
+    over TIME (and offline stats include batch padding frames), so exact
+    causal parity is ill-posed — the streamer uses cumulative valid-frame
+    statistics (streaming_jasper.py module docstring). On a long stream
+    the stats converge: late-region outputs must approach offline, and
+    argmax decisions agree."""
+    import jax
+    blocks = _norm_blocks(kind, ng)
+    frontend = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0)
+    model = Jasper(jasper_blocks=blocks, num_labels=7, mid_layers=len(blocks))
+    t0 = 8000
+    feats, flens = frontend(np.zeros((1, t0), np.float32), np.array([t0]))
+    variables = jax.device_get(model.init(jax.random.PRNGKey(3), feats,
+                                          flens, train=False))
+    assert not variables.get('batch_stats')  # no running stats to fold
+
+    stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
+    fe = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0,
+                             norm_stats=stats)
+    sj = StreamingJasper(blocks, 7, variables, fe, chunk_frames=16,
+                         norm='precomputed', norm_stats=stats)
+    n_chunks = 16  # long stationary stream so cumulative stats converge
+    length = sj.prime_samples + n_chunks * sj.chunk_samples + 640
+    rng = np.random.default_rng(31)
+    audio = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+
+    # NO padding margin: offline GroupNorm statistics count every padded
+    # frame (masked convs zero them, but zeros still dilute mean/var), so
+    # the honest offline reference is the unpadded batch.
+    probs_off, out_lens = _offline(model, variables, fe, audio, [length],
+                                   length)
+    emitted, total_valid = _run_stream(sj, audio, np.array([length]))
+    # Frame-count arithmetic is exact regardless of the norm mode.
+    np.testing.assert_array_equal(total_valid, out_lens)
+    v = int(total_valid[0])
+    late = slice(2 * v // 3, v)
+    agree = np.mean(np.argmax(emitted[0, late], -1)
+                    == np.argmax(probs_off[0, late], -1))
+    assert agree > 0.9, f'late-region argmax agreement {agree:.2f}'
+    assert np.mean(np.abs(emitted[0, late] - probs_off[0, late])) < 0.05
+
+
+def test_jasper_norm_variant_artifact_roundtrip(tmp_path):
+    """Artifacts serialize runtime-norm descriptors (scale/bias/ng):
+    sessions from a loaded fold match live-fold sessions exactly."""
+    import jax
+    from wav2letter_pytorch_tpu.serving import (export_serving_jasper,
+                                                load_serving)
+    blocks = _norm_blocks('group', 2)
+    frontend = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0)
+    model = Jasper(jasper_blocks=blocks, num_labels=7, mid_layers=len(blocks))
+    feats, flens = frontend(np.zeros((1, 8000), np.float32),
+                            np.array([8000]))
+    variables = jax.device_get(model.init(jax.random.PRNGKey(5), feats,
+                                          flens, train=False))
+    stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
+    out = export_serving_jasper(
+        str(tmp_path / 'art'), blocks, 7, variables,
+        norm_stats=stats, n_mels=N_MELS)
+    meta, folded, _ = load_serving(out)
+    fe = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0)
+    kw = dict(chunk_frames=16, norm='precomputed', norm_stats=stats)
+    s_live = StreamingJasper(blocks, 7, variables, fe, **kw)
+    s_art = StreamingJasper(meta['jasper_blocks'], meta['num_labels'],
+                            None, fe, folded=folded, **kw)
+    length = s_live.prime_samples + 2 * s_live.chunk_samples + 500
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal((1, length)) * 0.1).astype(np.float32)
+    a, va = _run_stream(s_live, audio, np.array([length]))
+    b, vb = _run_stream(s_art, audio, np.array([length]))
+    assert int(va[0]) == int(vb[0])
+    np.testing.assert_allclose(a[0, :int(va[0])], b[0, :int(vb[0])],
+                               atol=1e-6)
+
+
 def test_jasper_unsupported_configs():
+    """Only genuinely impossible cases still raise: stride-with-residual
+    (offline shape-mismatch) and heads without the separable depthwise
+    path (reference jasper.py:436-453)."""
     model, variables, frontend = _build(JASPER_SMALL)
-    bad = [dict(JASPER_SMALL[0]), dict(JASPER_SMALL[1])]
-    bad[1]['normalization'] = 'layer'
-    with pytest.raises(ValueError, match='batch norm'):
+    bad = [dict(JASPER_SMALL[0])]
+    bad[0].update(stride=2, residual=True)
+    with pytest.raises(ValueError, match='stride 1'):
+        StreamingJasper(bad, 7, variables, frontend)
+    bad = [dict(JASPER_SMALL[0])]
+    bad[0].update(separable=False, heads=4)
+    with pytest.raises(ValueError, match='separable'):
         StreamingJasper(bad, 7, variables, frontend)

@@ -329,3 +329,27 @@ def test_steps_per_dispatch_equivalence(tmp_path):
                         jax.tree.leaves(params[n_sd])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-7)
+
+
+def test_steps_per_dispatch_with_buckets(tmp_path):
+    """steps_per_dispatch>1 must survive a bucketed loader: batches of
+    different static shapes can't share a step-stacked group, so grouping
+    is per shape-signature (regression: np.stack shape-mismatch crash)."""
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    import train as train_cli
+
+    manifest = _make_corpus(tmp_path, n=8, seed=7)
+    run_dir = tmp_path / 'bucket_multi'
+    assert train_cli.main([
+        f'data.train_manifest={manifest}', f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=3',
+        'model.input_size=32',
+        'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: 0.1}]',
+        'trainer.max_epochs=2', 'trainer.steps_per_dispatch=2',
+        'trainer.string_metrics_interval=1', 'trainer.mesh.data=2',
+        f'trainer.default_root_dir={run_dir}',
+    ]) == 0
+    # 8 utts over 3 buckets -> 5 batches/epoch (per-bucket remainders
+    # pad to full batch_size), 2 epochs -> 10 steps.
+    assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 10

@@ -164,18 +164,25 @@ class JasperBlock(nn.Module):
             'one of [batch, layer, group, instance].')
 
     def _conv_bn(self, x, lens, out_ch: int, idx: str, *, kernel: int,
-                 stride: int, dilation: int, train: bool):
+                 stride: int, dilation: int, train: bool,
+                 groups: int | None = None, heads: int | None = None):
+        """``groups``/``heads`` default to the block's values for main-chain
+        convs; residual 1x1 branches pass groups=1, heads=-1 — the reference
+        builds them with ``_get_conv_bn_layer`` defaults (jasper.py:241-257
+        passes neither), so they are plain convs with no GroupShuffle."""
+        groups = self.groups if groups is None else groups
+        heads = self.heads if heads is None else heads
         pad = get_same_padding(kernel, stride, dilation)
         if self.separable and kernel > 1:
             x, lens = MaskedConv(features=x.shape[-1], kernel_size=kernel,
                                  stride=stride, dilation=dilation,
-                                 groups=x.shape[-1], heads=self.heads,
+                                 groups=x.shape[-1], heads=heads,
                                  padding=pad, use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
                                  precision=self.precision, dtype=self.dtype,
                                  name=f'{idx}_dw')(x, lens)
             x, lens = MaskedConv(features=out_ch, kernel_size=1,
-                                 groups=self.groups, padding=0,
+                                 groups=groups, padding=0,
                                  use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
                                  precision=self.precision, dtype=self.dtype,
@@ -183,7 +190,7 @@ class JasperBlock(nn.Module):
         else:
             x, lens = MaskedConv(features=out_ch, kernel_size=kernel,
                                  stride=stride, dilation=dilation,
-                                 groups=self.groups, heads=self.heads,
+                                 groups=groups, heads=heads,
                                  padding=pad, use_mask=self.conv_mask,
                                  init_mode=self.init_mode,
                                  precision=self.precision, dtype=self.dtype,
@@ -191,8 +198,8 @@ class JasperBlock(nn.Module):
         if self.dtype is not None:
             x = x.astype(jnp.float32)  # norms + residuals in f32
         x = self._norm(x, f'{idx}_norm', train=train)
-        if self.groups > 1:
-            x = group_shuffle(x, self.groups)
+        if groups > 1:
+            x = group_shuffle(x, groups)
         return x, lens
 
     @nn.compact
@@ -217,7 +224,8 @@ class JasperBlock(nn.Module):
             for i, res_in in enumerate(branches):
                 r, _ = self._conv_bn(res_in, lens_orig, self.planes,
                                      f'res{i}', kernel=1, stride=1,
-                                     dilation=1, train=train)
+                                     dilation=1, train=train,
+                                     groups=1, heads=-1)
                 x = x + r if self.residual_mode == 'add' else jnp.maximum(x, r)
 
         x = act(x)

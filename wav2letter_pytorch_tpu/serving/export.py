@@ -126,22 +126,37 @@ def export_serving_jasper(out_dir: str, jasper_blocks, num_labels: int,
         if b is not None:
             arrays[key + '_b'] = np.asarray(b, np.float32)
 
+    def put_norm(key, norm):
+        """Runtime (non-batch) norm: learned scale/bias + group count.
+        Returns the JSON-side descriptor (None for folded batch norm)."""
+        if norm is None:
+            return None
+        arrays[key + '_g'] = np.asarray(norm['gamma'], np.float32)
+        arrays[key + '_beta'] = np.asarray(norm['beta'], np.float32)
+        return {'ng': int(norm['ng'])}
+
     for i, blk in enumerate(blocks):
         bm = {k: blk[k] for k in ('residual_mode', 'activation', 'dense',
-                                  'mask')}
+                                  'mask', 'groups')}
         bm['reps'] = []
-        for r, ops in enumerate(blk['reps']):
+        for r, rep in enumerate(blk['reps']):
             row = []
-            for j, op in enumerate(ops):
+            for j, op in enumerate(rep['ops']):
                 put(f'b{i}_r{r}_o{j}', op['w'], op['b'])
                 row.append({f: op[f] for f in ('k', 's', 'd', 'pad',
-                                               'depthwise', 'mask')})
-            bm['reps'].append(row)
+                                               'depthwise', 'mask', 'fgc')})
+            bm['reps'].append({
+                'ops': row,
+                'norm': put_norm(f'b{i}_r{r}_norm', rep['norm'])})
         bm['n_res'] = -1
         if blk['res'] is not None:
             bm['n_res'] = len(blk['res'])
-            for j, (w, b) in enumerate(blk['res']):
-                put(f'b{i}_res{j}', w, b)
+            bm['res'] = []
+            for j, entry in enumerate(blk['res']):
+                put(f'b{i}_res{j}', entry['w'], entry['b'])
+                bm['res'].append({
+                    'fgc': entry['fgc'],
+                    'norm': put_norm(f'b{i}_res{j}_norm', entry['norm'])})
         blocks_meta.append(bm)
     put('head', head[0], head[1])
     if norm_stats is not None:
@@ -159,11 +174,12 @@ def export_serving_jasper(out_dir: str, jasper_blocks, num_labels: int,
         'has_cmvn': norm_stats is not None,
         'feature_type': feature_type,
         # Fallback: the first conv's input channels (dw kernel [k,1,C]
-        # keeps C; plain conv [k,Cin,Cout] has Cin).
+        # keeps C; plain conv [k,Cin/g,Cout] has Cin/g).
         'n_mels': (n_mels if n_mels is not None else int(
-            blocks[0]['reps'][0][0]['w'].shape[2]
-            if blocks[0]['reps'][0][0]['depthwise']
-            else blocks[0]['reps'][0][0]['w'].shape[1])),
+            blocks[0]['reps'][0]['ops'][0]['w'].shape[2]
+            if blocks[0]['reps'][0]['ops'][0]['depthwise']
+            else blocks[0]['reps'][0]['ops'][0]['w'].shape[1]
+            * blocks[0].get('groups', 1))),
     }
     with open(os.path.join(out_dir, 'serving.json'), 'w') as f:
         json.dump(meta, f, indent=2)
@@ -191,21 +207,43 @@ def load_serving(artifact_dir: str):
             b = npz[key + '_b'] if key + '_b' in files else None
             return npz[key + '_w'], b
 
+        def get_norm(key, desc):
+            if desc is None:
+                return None
+            return dict(gamma=npz[key + '_g'], beta=npz[key + '_beta'],
+                        ng=int(desc['ng']))
+
         blocks = []
         for i, bm in enumerate(meta['blocks_meta']):
             blk = {k: bm[k] for k in ('residual_mode', 'activation',
                                       'dense', 'mask')}
+            blk['groups'] = int(bm.get('groups', 1))
             blk['reps'] = []
-            for r, row in enumerate(bm['reps']):
+            for r, rep in enumerate(bm['reps']):
+                # Pre-norm-support artifacts stored a rep as a bare op
+                # list; current ones as {'ops': [...], 'norm': ...}.
+                row = rep['ops'] if isinstance(rep, dict) else rep
+                norm = rep.get('norm') if isinstance(rep, dict) else None
                 ops = []
                 for j, geom in enumerate(row):
                     w, b = get(f'b{i}_r{r}_o{j}')
-                    ops.append(dict(geom, w=w, b=b))
-                blk['reps'].append(ops)
+                    op = dict(geom, w=w, b=b)
+                    op.setdefault('fgc', w.shape[2] if op['depthwise']
+                                  else 1)
+                    ops.append(op)
+                blk['reps'].append(dict(
+                    ops=ops, norm=get_norm(f'b{i}_r{r}_norm', norm)))
             blk['res'] = None
             if bm['n_res'] >= 0:
-                blk['res'] = [get(f'b{i}_res{j}')
-                              for j in range(bm['n_res'])]
+                res_meta = bm.get('res') or [
+                    {'fgc': 1, 'norm': None}] * bm['n_res']
+                blk['res'] = []
+                for j, rm in enumerate(res_meta):
+                    w, b = get(f'b{i}_res{j}')
+                    blk['res'].append(dict(
+                        w=w, b=b, fgc=int(rm.get('fgc', 1)),
+                        norm=get_norm(f'b{i}_res{j}_norm',
+                                      rm.get('norm'))))
             blocks.append(blk)
         return meta, (blocks, get('head')), norm_stats
 

@@ -9,7 +9,12 @@ Jasper block structure (models/jasper.py):
   constraint, only the emit-at-least-one-frame-at-prime search;
 * separable convs: a depthwise carry-conv followed by a pointwise GEMM,
   with eval BatchNorm folded into the pointwise (or the single conv);
-* in-block residual branches: 1x1(+BN) convs of the block input, aligned
+* grouped convs (``groups > 1``) with the post-norm ``GroupShuffle``, and
+  ``heads`` depthwise folding — both stream EXACTLY: heads is equivalent
+  to a full depthwise conv whose per-channel filter is ``w[c % heads]``
+  (models/jasper.py:97-115 folds channel blocks into batch; tiling the
+  ``heads`` filters across C channels reproduces it without the reshape);
+* in-block residual branches: 1x1(+norm) convs of the block input, aligned
   to the main path's emission lag by per-pane FIFO buffers (dense-residual
   pane chains supported);
 * masked convs: the reference zero-fills frames beyond each sample's
@@ -20,9 +25,25 @@ Jasper block structure (models/jasper.py):
   PROBABILITIES, preserving the reference's prob-space-beam contract,
   jasper.py:470-473).
 
-Scope (matching configs/model/jasper.yaml): normalization='batch',
-groups=1, heads=-1; a block with stride > 1 must have residual=False (the
-reference's residual add would shape-mismatch otherwise).
+Normalization variants (``normalization`` in group/instance/layer,
+reference jasper.py:198-236): these are NOT foldable or per-frame — torch
+``GroupNorm`` on [B, C, T] (and flax ``nn.GroupNorm`` on [B, T, C])
+reduces over the TIME axis too, so the offline statistics depend on the
+whole utterance *including batch zero-padding frames*. A causal streamer
+cannot reproduce a time-global statistic exactly (future frames change
+past outputs), and offline itself is padding-length-dependent, so exact
+parity is ill-posed. The streaming implementation here keeps the learned
+scale/bias and normalizes with CUMULATIVE statistics over the valid
+frames seen so far (the same contract as the frontend's
+``norm='cumulative'`` mode, streaming.py): outputs converge to the
+offline values as the stream progresses, and the finish program excludes
+invalid tail frames from the statistics. Batch norm remains exactly
+foldable and bit-parity-tested.
+
+Scope: a block with stride > 1 must have ``residual=False`` (the offline
+model's residual add would shape-mismatch, as in the reference), and
+``heads`` requires ``separable`` (the reference only reaches heads through
+the depthwise path of separable blocks, jasper.py:436-453).
 """
 
 from __future__ import annotations
@@ -31,10 +52,14 @@ from typing import NamedTuple
 
 import numpy as np
 
-from ..models.jasper import compute_new_kernel_size, get_same_padding
+from ..models.jasper import (compute_new_kernel_size, get_same_padding,
+                             group_shuffle)
 from .infer import _materialize
 from .streaming import (_FrontendStreaming, _LayerSpec, _plan,
                         StreamingSession)
+
+NORM_EPS = 1e-5  # flax nn.GroupNorm epsilon (models/jasper.py:157-161)
+
 
 def _act(name: str):
     import jax.numpy as jnp
@@ -57,21 +82,37 @@ def _bn_fold(params_blk, stats_blk, norm_name):
     return g, beta - mean * g
 
 
-def fold_jasper(variables, blocks_cfg):
-    """Extract + BN-fold Jasper weights into streaming op descriptors.
+def _num_groups(b: dict, C: int) -> int:
+    """Effective group count of the block's norm (models/jasper.py:148-161)."""
+    kind = b.get('normalization', 'batch')
+    if kind == 'instance':
+        return C
+    if kind == 'layer':
+        return 1
+    ng = int(b.get('norm_groups', 1))
+    return C if ng == -1 else ng
 
-    Returns (blocks, head) where each block is a dict of main-chain conv
-    ops (geometry + folded weights) and residual 1x1 branches.
+
+def fold_jasper(variables, blocks_cfg):
+    """Extract + fold Jasper weights into streaming op descriptors.
+
+    Returns (blocks, head). Each block dict holds the main-chain rep units
+    (``reps``: each ``{'ops': [...], 'norm': None | {...}}``), residual
+    branch descriptors (``res``), and block attributes. Eval BatchNorm is
+    folded into the conv weights; group/instance/layer norms keep their
+    learned scale/bias as runtime descriptors (see module docstring).
     """
     params = variables['params']
     stats = variables.get('batch_stats', {})
     blocks = []
     for i, b in enumerate(blocks_cfg):
         blk, bst = params[f'block{i}'], stats.get(f'block{i}', {})
-        if b.get('normalization', 'batch') != 'batch':
-            raise ValueError('streaming Jasper supports batch norm only')
-        if int(b.get('groups', 1)) != 1 or int(b.get('heads', -1)) != -1:
-            raise ValueError('streaming Jasper supports groups=1, heads=-1')
+        norm_kind = b.get('normalization', 'batch')
+        if norm_kind not in ('batch', 'group', 'instance', 'layer'):
+            raise ValueError(f'unknown normalization: {norm_kind!r}')
+        batch_norm = norm_kind == 'batch'
+        groups = int(b.get('groups', 1))
+        heads = int(b.get('heads', -1))
         repeat = int(b.get('repeat', 1))
         kernel = compute_new_kernel_size(int(b['kernel_size']),
                                          float(b.get('kernel_size_factor',
@@ -81,45 +122,84 @@ def fold_jasper(variables, blocks_cfg):
         separable = bool(b.get('separable', True)) and kernel > 1
         residual = bool(b.get('residual', True))
         if residual and stride > 1:
+            # Genuinely impossible: the offline residual add would
+            # shape-mismatch (reference jasper.py:409-412 semantics).
             raise ValueError('residual blocks must have stride 1')
+        if heads != -1 and not separable:
+            raise ValueError('heads streaming requires separable blocks '
+                             '(the depthwise path, jasper.py:436-453)')
         mask = bool(b.get('conv_mask', True))
         pad = get_same_padding(kernel, stride, dilation)
+        planes = int(b['layer_size'])
+
+        def norm_desc(name, C):
+            if batch_norm:
+                return None
+            return dict(gamma=np.asarray(blk[name]['scale'], np.float32),
+                        beta=np.asarray(blk[name]['bias'], np.float32),
+                        ng=_num_groups(b, C))
+
         reps = []
         for r in range(repeat):
-            g, bias = _bn_fold(blk, bst, f'rep{r}_norm')
             ops = []
             if separable:
                 w_dw = np.asarray(blk[f'rep{r}_dw']['Conv_0']['kernel'],
                                   np.float32)
                 w_pw = np.asarray(blk[f'rep{r}_pw']['Conv_0']['kernel'],
                                   np.float32)
+                C_in = w_pw.shape[1] * groups  # pw kernel [1, C/g, out]
+                if heads != -1:
+                    # [k, 1, heads] -> full depthwise [k, 1, C]: channel c
+                    # uses filter c % heads (see module docstring).
+                    w_dw = np.tile(w_dw, (1, 1, C_in // heads))
                 ops.append(dict(k=kernel, s=stride, d=dilation, pad=pad,
-                                w=w_dw, b=None, depthwise=True, mask=mask))
-                ops.append(dict(k=1, s=1, d=1, pad=0,
-                                w=w_pw * g[None, None, :], b=bias,
-                                depthwise=False, mask=mask))
+                                w=w_dw, b=None, depthwise=True, mask=mask,
+                                fgc=C_in))
+                if batch_norm:
+                    g, bias = _bn_fold(blk, bst, f'rep{r}_norm')
+                    w_pw, b_pw = w_pw * g[None, None, :], bias
+                else:
+                    b_pw = None
+                ops.append(dict(k=1, s=1, d=1, pad=0, w=w_pw, b=b_pw,
+                                depthwise=False, mask=mask, fgc=groups))
             else:
                 w = np.asarray(blk[f'rep{r}_conv']['Conv_0']['kernel'],
                                np.float32)
+                if batch_norm:
+                    g, bias = _bn_fold(blk, bst, f'rep{r}_norm')
+                    w, b_c = w * g[None, None, :], bias
+                else:
+                    b_c = None
                 ops.append(dict(k=kernel, s=stride, d=dilation, pad=pad,
-                                w=w * g[None, None, :], b=bias,
-                                depthwise=False, mask=mask))
-            reps.append(ops)
+                                w=w, b=b_c, depthwise=False, mask=mask,
+                                fgc=groups))
+            reps.append(dict(ops=ops, norm=norm_desc(f'rep{r}_norm',
+                                                     planes)))
         res = None
         if residual:
+            # Residual 1x1 branches are PLAIN convs (groups=1, heads=-1,
+            # no GroupShuffle): the reference builds them with
+            # _get_conv_bn_layer defaults (jasper.py:241-257).
             res = []
             j = 0
             while f'res{j}_conv' in blk:
-                g, bias = _bn_fold(blk, bst, f'res{j}_norm')
                 w = np.asarray(blk[f'res{j}_conv']['Conv_0']['kernel'],
                                np.float32)
-                res.append((w * g[None, None, :], bias))
+                if batch_norm:
+                    g, bias = _bn_fold(blk, bst, f'res{j}_norm')
+                    entry = dict(w=w * g[None, None, :], b=bias, norm=None,
+                                 fgc=1)
+                else:
+                    entry = dict(w=w, b=None,
+                                 norm=norm_desc(f'res{j}_norm', planes),
+                                 fgc=1)
+                res.append(entry)
                 j += 1
         blocks.append(dict(reps=reps, res=res,
                            residual_mode=b.get('residual_mode', 'add'),
                            activation=b.get('activation', 'relu'),
                            dense=bool(b.get('residual_dense', False)),
-                           mask=mask))
+                           mask=mask, groups=groups))
     head = (np.asarray(params['head']['kernel'], np.float32),
             np.asarray(params['head']['bias'], np.float32))
     return blocks, head
@@ -133,6 +213,21 @@ class JasperStreamState(NamedTuple):
     norm_count: object
     norm_sum: object
     norm_sumsq: object
+    gnorms: tuple = ()       # per runtime norm, (count [B,1], sum, sumsq)
+
+
+def _grouped_1x1(x, w, fgc: int):
+    """Grouped pointwise conv as an einsum. x [B,t,C]; w [1, C/fgc, out]
+    (flax grouped-conv kernel layout: output channel o reads input group
+    o // (out / fgc))."""
+    import jax.numpy as jnp
+    if fgc == 1:
+        return jnp.einsum('btc,cl->btl', x, w[0])
+    B, t, C = x.shape
+    out = w.shape[2]
+    xg = x.reshape(B, t, fgc, C // fgc)
+    wg = w[0].reshape(C // fgc, fgc, out // fgc)
+    return jnp.einsum('btgc,cgj->btgj', xg, wg).reshape(B, t, out)
 
 
 class StreamingJasper(_FrontendStreaming):
@@ -165,11 +260,11 @@ class StreamingJasper(_FrontendStreaming):
         self._act_int8 = weights == 'int8_full'
 
         # Main-chain specs (the stream plan ignores 1x1 residual branches —
-        # they never change frame counts).
+        # they never change frame counts; norms/shuffles are frame-local).
         specs = [self._fe_spec]
         for blk in self._blocks:
-            for ops in blk['reps']:
-                for op in ops:
+            for rep in blk['reps']:
+                for op in rep['ops']:
                     specs.append(_LayerSpec(op['k'], op['s'], op['d'],
                                             op['pad'], 'zeros'))
         specs.append(_LayerSpec(1, 1, 1, 0, 'zeros'))  # head
@@ -200,13 +295,16 @@ class StreamingJasper(_FrontendStreaming):
         # Attach per-op stream bookkeeping: prime input count and the
         # float length-arithmetic coefficients len = a*flen + b of each
         # op's INPUT stream (the reference's MaskedConv length chain,
-        # jasper.py:84-94; dyadic-exact in f32).
+        # jasper.py:84-94; dyadic-exact in f32). Runtime norms additionally
+        # record their input stream's (a, b, prime) so the finish program
+        # can exclude invalid tail frames from the cumulative statistics.
         a, b = 1.0, 0.0
         idx = 1  # specs index (0 is the frontend)
         prime_in = self._prime_outs[0]
+        norm_i = 0
         for blk in self._blocks:
-            for ops in blk['reps']:
-                for op in ops:
+            for rep in blk['reps']:
+                for op in rep['ops']:
                     op['len_a'], op['len_b'] = a, b
                     op['prime_in'] = prime_in
                     if op['mask']:
@@ -214,8 +312,28 @@ class StreamingJasper(_FrontendStreaming):
                         a, b = a / op['s'], (b + c0) / op['s'] + 1.0
                     prime_in = self._prime_outs[idx]
                     idx += 1
+                if rep['norm'] is not None:
+                    rep['norm']['len'] = (a, b, prime_in)
+                    rep['norm']['idx'] = norm_i
+                    norm_i += 1
+            if blk['res'] is not None:
+                for entry in blk['res']:
+                    if entry['norm'] is not None:
+                        # 1x1 masked convs preserve lengths; the FIFO
+                        # aligns emission with the main path, so the valid
+                        # count at the add site applies.
+                        entry['norm']['len'] = (a, b, prime_in)
+                        entry['norm']['idx'] = norm_i
+                        norm_i += 1
         self._len_coeffs_head = (a, b)
         self._prime_out_head = self._prime_outs[-1]
+        self._norm_descs = [rep['norm'] for blk in self._blocks
+                            for rep in blk['reps']
+                            if rep['norm'] is not None]
+        self._norm_descs += [e['norm'] for blk in self._blocks
+                             if blk['res'] for e in blk['res']
+                             if e['norm'] is not None]
+        self._norm_descs.sort(key=lambda d: d['idx'])
 
         # Finish flush: zero feature frames appended so every valid head
         # frame drains. rem_max at the largest possible tail.
@@ -238,9 +356,10 @@ class StreamingJasper(_FrontendStreaming):
         # Weights as jit arguments (not closure constants) — see
         # streaming.py: large baked constants blow up compile payloads.
         ops_w = [(op['w'], op['b']) for blk in self._blocks
-                 for ops in blk['reps'] for op in ops]
-        res_w = [wb for blk in self._blocks if blk['res']
-                 for wb in blk['res']]
+                 for rep in blk['reps'] for op in rep['ops']]
+        res_w = [(e['w'], e['b']) for blk in self._blocks if blk['res']
+                 for e in blk['res']]
+        norms_w = [(d['gamma'], d['beta']) for d in self._norm_descs]
         head_w = self._head
         if self._int8:
             from .quantize import quantize_folded
@@ -248,14 +367,44 @@ class StreamingJasper(_FrontendStreaming):
             res_w = quantize_folded(res_w)
             head_w = quantize_folded([head_w])[0]
         self._weights_dev = jax.device_put(
-            {'ops': ops_w, 'res': res_w, 'head': head_w})
+            {'ops': ops_w, 'res': res_w, 'head': head_w, 'norms': norms_w})
         self._prime_fn = jax.jit(self._prime)
         self._step_fn = jax.jit(self._step)
         self._finish_fn = jax.jit(self._finish)
 
     # ------------------------------------------------------------------
 
-    def _convs(self, weights, feats, carries, fifos, x_frames=None):
+    def _cum_norm(self, gb, desc, h, carry, x_frames):
+        """Cumulative group/instance/layer norm over valid frames seen so
+        far (module docstring). Returns (normalized h, new carry)."""
+        import jax.numpy as jnp
+        gamma, beta = gb
+        ng = desc['ng']
+        B, t, C = h.shape
+        cpg = C // ng
+        if x_frames is None:
+            valid = jnp.full((B,), float(t), jnp.float32)
+        else:
+            a, b0, prime_in = desc['len']
+            valid = jnp.clip(jnp.floor(a * x_frames + b0) - prime_in,
+                             0.0, float(t))
+        m = (jnp.arange(t)[None, :] < valid[:, None]).astype(h.dtype)
+        hg = (h * m[:, :, None]).reshape(B, t, ng, cpg)
+        cnt, s, ss = carry
+        cnt = cnt + valid[:, None] * cpg
+        s = s + hg.sum(axis=(1, 3))
+        ss = ss + jnp.square(hg).sum(axis=(1, 3))
+        c = jnp.maximum(cnt, 1.0)
+        mean = s / c                                       # [B, ng]
+        var = jnp.maximum(ss / c - jnp.square(mean), 0.0)  # biased, as flax
+        scale = (gamma.reshape(1, 1, ng, cpg)
+                 / jnp.sqrt(var + NORM_EPS)[:, None, :, None])
+        y = (h.reshape(B, t, ng, cpg) - mean[:, None, :, None]) * scale \
+            + beta.reshape(1, 1, ng, cpg)
+        return y.reshape(B, t, C), (cnt, s, ss)
+
+    def _convs(self, weights, feats, carries, fifos, gnorms,
+               x_frames=None):
         """Run the block stack over new frames. ``x_frames`` ([B] float32,
         finish only): X = prime_frames + tail//hop + 1 (= flen minus the
         steady chunks, n-independent), driving the per-conv masked-length
@@ -264,14 +413,15 @@ class StreamingJasper(_FrontendStreaming):
         import jax.numpy as jnp
         x = feats
         new_carries, new_fifos = [], []
+        new_gnorms = list(gnorms)
         ci = fi = 0
         panes = [x]
         for blk in self._blocks:
             act = _act(blk['activation'])
             block_panes = panes
             h = x
-            for r, ops in enumerate(blk['reps']):
-                for op in ops:
+            for r, rep in enumerate(blk['reps']):
+                for op in rep['ops']:
                     if op['mask'] and x_frames is not None and (
                             op['k'] > 1 or self._act_int8):
                         # Zero input frames beyond this sample's length
@@ -295,7 +445,7 @@ class StreamingJasper(_FrontendStreaming):
                     else:
                         buf = h
                         new_carries.append(carries[ci])  # zero-size
-                    groups = buf.shape[2] if op['depthwise'] else 1
+                    groups = op['fgc']
                     if self._act_int8:
                         # int8 x int8 -> int32 on the MXU (grouped convs
                         # included — verified bit-exact on-chip).
@@ -321,6 +471,13 @@ class StreamingJasper(_FrontendStreaming):
                             feature_group_count=groups)
                     ci += 1
                     h = out + b_op if b_op is not None else out
+                if rep['norm'] is not None:
+                    ni = rep['norm']['idx']
+                    h, new_gnorms[ni] = self._cum_norm(
+                        weights['norms'][ni], rep['norm'], h,
+                        gnorms[ni], x_frames)
+                if blk['groups'] > 1:
+                    h = group_shuffle(h, blk['groups'])
                 if r < len(blk['reps']) - 1:
                     h = act(h)
             if blk['res'] is not None:
@@ -330,13 +487,20 @@ class StreamingJasper(_FrontendStreaming):
                 # (models/jasper.py:215-216).
                 branches = block_panes if blk['dense'] \
                     else [block_panes[-1]]
-                for pane in branches:
+                for pane, entry in zip(branches, blk['res']):
                     w, bias = _materialize(weights['res'][fi])
                     fifo = jnp.concatenate([fifos[fi], pane], axis=1)
                     rin, new_fifo = fifo[:, :take], fifo[:, take:]
                     new_fifos.append(new_fifo)
                     fi += 1
-                    r_out = jnp.einsum('btc,cl->btl', rin, w[0]) + bias
+                    r_out = _grouped_1x1(rin, w, entry['fgc'])
+                    if bias is not None:
+                        r_out = r_out + bias
+                    if entry['norm'] is not None:
+                        ni = entry['norm']['idx']
+                        r_out, new_gnorms[ni] = self._cum_norm(
+                            weights['norms'][ni], entry['norm'], r_out,
+                            gnorms[ni], x_frames)
                     h = h + r_out if blk['residual_mode'] == 'add' \
                         else jnp.maximum(h, r_out)
             h = act(h)
@@ -345,17 +509,18 @@ class StreamingJasper(_FrontendStreaming):
         wh, bh = _materialize(weights['head'])
         logits = jnp.einsum('btc,cl->btl', x, wh[0]) + bh
         return (jax.nn.softmax(logits, axis=-1), tuple(new_carries),
-                tuple(new_fifos))
+                tuple(new_fifos), tuple(new_gnorms))
 
     def _zero_state(self, B: int):
-        """Prime-phase carries: each conv's left zero pad; empty FIFOs."""
+        """Prime-phase carries: each conv's left zero pad; empty FIFOs;
+        zeroed cumulative-norm statistics."""
         import jax.numpy as jnp
         carries, fifos = [], []
         ch = self.feat_dim
         pane_ch = [ch]
         for blk in self._blocks:
-            for ops in blk['reps']:
-                for op in ops:
+            for rep in blk['reps']:
+                for op in rep['ops']:
                     left = op['pad'] if (op['k'] > 1 or op['s'] > 1) else 0
                     carries.append(jnp.zeros((B, left, ch), jnp.float32))
                     ch = op['w'].shape[-1]  # dw keeps C; conv/pw -> Cout
@@ -363,23 +528,29 @@ class StreamingJasper(_FrontendStreaming):
                 for c in (pane_ch if blk['dense'] else [pane_ch[-1]]):
                     fifos.append(jnp.zeros((B, 0, c), jnp.float32))
             pane_ch = pane_ch + [ch] if blk['dense'] else [ch]
-        return tuple(carries), tuple(fifos)
+        gnorms = tuple(
+            (jnp.zeros((B, 1), jnp.float32),
+             jnp.zeros((B, d['ng']), jnp.float32),
+             jnp.zeros((B, d['ng']), jnp.float32))
+            for d in self._norm_descs)
+        return tuple(carries), tuple(fifos), gnorms
 
     def _prime(self, weights, audio):
         last, fe_carry, norm_state, feats = self._fe_prime(audio)
-        carries, fifos = self._zero_state(audio.shape[0])
-        probs, carries, fifos = self._convs(weights, feats, carries, fifos)
+        carries, fifos, gnorms = self._zero_state(audio.shape[0])
+        probs, carries, fifos, gnorms = self._convs(weights, feats,
+                                                    carries, fifos, gnorms)
         return JasperStreamState(last, fe_carry, carries, fifos,
-                                 *norm_state), probs
+                                 *norm_state, gnorms), probs
 
     def _step(self, weights, state, audio):
         last, fe_carry, norm_state, feats = self._fe_step(
             state.preemph_last, state.fe_carry,
             (state.norm_count, state.norm_sum, state.norm_sumsq), audio)
-        probs, carries, fifos = self._convs(weights, feats,
-                                            state.conv_carries, state.fifos)
+        probs, carries, fifos, gnorms = self._convs(
+            weights, feats, state.conv_carries, state.fifos, state.gnorms)
         return JasperStreamState(last, fe_carry, carries, fifos,
-                                 *norm_state), probs
+                                 *norm_state, gnorms), probs
 
     def _finish(self, weights, state, tail, tail_lengths):
         import jax.numpy as jnp
@@ -389,8 +560,8 @@ class StreamingJasper(_FrontendStreaming):
             tail, tail_lengths, extra_zero_frames=self._fin_flush)
         xf = (self.prime_frames + tail_lengths // self.hop + 1) \
             .astype(jnp.float32)
-        probs, _, _ = self._convs(weights, feats, state.conv_carries,
-                                  state.fifos, x_frames=xf)
+        probs, _, _, _ = self._convs(weights, feats, state.conv_carries,
+                                     state.fifos, state.gnorms, x_frames=xf)
         a, b = self._len_coeffs_head
         fin_valid = (jnp.floor(a * xf + b).astype(jnp.int32)
                      - self.prime_out)

@@ -293,34 +293,46 @@ class Trainer:
             # one-group lookahead so the next group's host->device transfer
             # overlaps the current dispatch's execution. Groups of n_sd
             # batches are step-stacked to [N, B, ...] for the scan-based
-            # multi-step program; a short remainder falls back to single
-            # steps (one extra compile, same math).
+            # multi-step program. Bucketed loaders interleave batches of
+            # different static shapes, and a step-stacked group must be
+            # homogeneous — so grouping is per shape-signature (slightly
+            # reordering an already-shuffled epoch); remainders fall back
+            # to single steps (one extra compile per shape, same math).
             pending = None
-            group = []
+            groups: dict = {}
+
+            def sig(b):
+                return tuple((k, v.shape) for k, v in sorted(b.items())
+                             if isinstance(v, np.ndarray))
+
+            def emit(group):
+                if n_sd == 1 or len(group) == 1:
+                    return (group, shard_batch(
+                        {k: v for k, v in group[0].items()
+                         if isinstance(v, np.ndarray)}, self.mesh), False)
+                stacked = {k: np.stack([g[k] for g in group])
+                           for k, v in group[0].items()
+                           if isinstance(v, np.ndarray)}
+                return (group, shard_batch(stacked, self.mesh,
+                                           batch_dim=1), True)
+
             for batch in loader:
+                group = groups.setdefault(sig(batch), [])
                 group.append(batch)
                 if len(group) < n_sd:
                     continue
-                if n_sd == 1:
-                    item = (group, shard_batch(
-                        {k: v for k, v in group[0].items()
-                         if isinstance(v, np.ndarray)}, self.mesh), False)
-                else:
-                    stacked = {k: np.stack([g[k] for g in group])
-                               for k, v in group[0].items()
-                               if isinstance(v, np.ndarray)}
-                    item = (group, shard_batch(stacked, self.mesh,
-                                               batch_dim=1), True)
+                item = emit(groups.pop(sig(batch)))
                 if pending is not None:
                     yield pending
                 pending = item
-                group = []
-            for batch in group:  # remainder (shorter than n_sd)
-                db = shard_batch({k: v for k, v in batch.items()
-                                  if isinstance(v, np.ndarray)}, self.mesh)
-                if pending is not None:
-                    yield pending
-                pending = ([batch], db, False)
+            for _, group in sorted(groups.items()):  # per-shape remainders
+                for batch in group:
+                    db = shard_batch({k: v for k, v in batch.items()
+                                      if isinstance(v, np.ndarray)},
+                                     self.mesh)
+                    if pending is not None:
+                        yield pending
+                    pending = ([batch], db, False)
             if pending is not None:
                 yield pending
 
