@@ -1,20 +1,31 @@
 #!/usr/bin/env python
-"""Serving validation on TRAINED weights: every inference path, one model.
+"""Serving validation on TRAINED weights: exact parity + explained WER.
 
 Trains the synthetic-corpus demo model (scripts/train_synthetic_demo.py),
-then evaluates the SAME validation manifest through each serving path and
-records the WER/CER deltas — the quality-preservation evidence for the
-serving layer (exact-parity paths must match the offline WER; quantized
-paths show their real accuracy cost on trained weights, not random ones).
+then validates the serving layer at TWO levels (VERDICT r2 weak #3 — a
+tolerance-only WER comparison would miss a real serving regression):
+
+1. **Exact log-prob parity** (direct APIs, identical utterances, identical
+   CMVN normalization): the live ``model.apply``, the BN-folded
+   ``offline_forward``, the f32 artifact's fold, and the streaming session
+   under precomputed CMVN must agree to tight float tolerances. Any
+   exceedance FAILS the script (exit 1).
+
+2. **WER matrix with normalization tags**: every path is tagged with its
+   input-normalization mode. Paths with the SAME tag must agree within
+   0.5 WER points (same math, so any larger gap is an unexplained serving
+   regression -> exit 1). Cross-tag deltas are legitimate — different
+   normalization is a different model input — and are recorded with the
+   explanation, including the root cause of the
+   streaming-beats/loses-offline anomaly: ``offline`` normalizes each
+   utterance with its own full-utterance statistics while ``streaming``
+   uses cumulative running stats and artifacts use corpus CMVN. The
+   ``artifact_offline_f32`` row isolates that effect: it is the offline
+   model under CMVN, so (offline - artifact_offline_f32) is pure
+   normalization-mode delta, and (artifact_* - artifact_offline_f32)
+   deltas are pure serving-path deltas.
 
     python scripts/validate_serving.py --epochs 30 --out /tmp/w2l_serv_val
-
-Paths compared:
-  offline        test.py --model-path              (the baseline)
-  streaming      test.py --model-path --streaming  (cumulative-norm)
-  artifact       test.py --artifact                (CMVN streaming, int8 weights)
-  artifact_offline           --artifact --offline  (mesh-sharded, int8 weights)
-  artifact_int8_full         --artifact --offline --int8-full (MXU int8, static scales)
 
 Writes benchmarks/serving_validation.json and prints one JSON line.
 """
@@ -28,7 +39,19 @@ import json
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PARITY_TOL = {
+    # live model vs BN-folded stack: f32 fold rounding only
+    'model_vs_folded': 5e-4,
+    # folded live weights vs f32 artifact round-trip: npz is bit-exact
+    'folded_vs_artifact': 1e-6,
+    # streaming (precomputed CMVN) vs offline folded: carried f32 sums
+    'streaming_vs_folded': 2e-3,
+}
+SAME_TAG_WER_TOL = 0.005  # 0.5 WER points
 
 
 def _run_eval(argv):
@@ -38,6 +61,131 @@ def _run_eval(argv):
         rc = test_cli.main(argv)
     assert rc == 0, f'eval failed: {argv}'
     return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def _load_module(name):
+    import importlib.util
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(here, f'{name}.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_run(run_dir, manifest):
+    """Rebuild model + frontend + trained variables from a run directory
+    (the test.py --model-path loading path, condensed)."""
+    import jax
+    import yaml
+
+    from wav2letter_pytorch_tpu.config import ConfigNode
+    from wav2letter_pytorch_tpu.data.dataset import (BucketBatchLoader,
+                                                     ManifestDataset)
+    from wav2letter_pytorch_tpu.training import (Trainer, build_decoder,
+                                                 build_frontend,
+                                                 build_labels, build_model,
+                                                 build_optimizer)
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+
+    with open(os.path.join(run_dir, 'config.yaml')) as f:
+        cfg = ConfigNode.wrap(yaml.safe_load(f))
+    labels = build_labels(cfg.model)
+    model = build_model(cfg.model, num_labels=len(labels))
+    frontend = build_frontend(cfg.model, dither=0.0)
+    optimizer, schedule = build_optimizer(cfg.model, 1, 1)
+    decoder = build_decoder(cfg.model, labels)
+    trainer = Trainer(cfg, model, frontend, optimizer, schedule, decoder,
+                      run_dir=run_dir)
+    ds = ManifestDataset(manifest, cfg.data.audio_conf, labels)
+    ac = cfg.data.audio_conf
+    loader = BucketBatchLoader(ds, 2, num_buckets=1, shuffle=False,
+                               frame_hop=int(ac['sample_rate']
+                                             * ac['window_stride']))
+    trainer.init_state(next(iter(loader)))
+    ckpt = Checkpointer(os.path.join(run_dir, 'checkpoints'))
+    trainer.state = ckpt.restore(jax.device_get(trainer.state))
+    variables = {'params': trainer.state.params,
+                 'batch_stats': trainer.state.batch_stats}
+    return cfg, model, decoder, labels, ds, variables
+
+
+def run_parity(run_dir, art_f32, manifest, n_utts=4):
+    """Level 1: tight log-prob parity across serving paths. Returns the
+    measured max deltas; raises SystemExit(1) on exceedance."""
+    from wav2letter_pytorch_tpu.serving import (StreamingWav2Letter,
+                                                fold_batchnorm,
+                                                load_serving,
+                                                offline_forward)
+    from wav2letter_pytorch_tpu.serving.streaming import stream_logprobs
+    from wav2letter_pytorch_tpu.training import build_frontend
+
+    cfg, model, _, labels, ds, variables = _load_run(run_dir, manifest)
+    layers = [dict(l) for l in cfg.model.layers][:int(cfg.model.mid_layers)]
+    pad_mode = str(cfg.model.get('padding_mode', 'reflect'))
+    folded_live = fold_batchnorm(variables, len(layers))
+    meta, folded_art, norm_stats = load_serving(art_f32)
+    assert norm_stats is not None, 'f32 artifact must carry CMVN stats'
+    fe_cmvn = build_frontend(cfg.model, dither=0.0, norm_stats=norm_stats)
+
+    sw = StreamingWav2Letter(layers, len(labels), variables, fe_cmvn,
+                             chunk_frames=32, norm='precomputed',
+                             norm_stats=norm_stats, padding_mode=pad_mode)
+    deltas = {k: 0.0 for k in PARITY_TOL}
+    used = 0
+    ac = cfg.model.audio_conf
+    hop = int(ac['sample_rate'] * ac['window_stride'])
+    for i in range(len(ds)):
+        audio, _, _, _ = ds[i]
+        audio = np.asarray(audio, np.float32)[None, :]
+        if audio.shape[1] <= sw.prime_samples:
+            continue
+        L = audio.shape[1]
+        lens = np.array([L], np.int32)
+        # The documented equivalence regime (tests/test_streaming.py):
+        # offline on the audio zero-padded BEYOND the network lookahead
+        # (tail outputs read that far ahead; streaming flushes zeros
+        # there), rounded to the loader's framing convention (frame count
+        # ≡ 0 mod 8, dataset.py bucket edges) that the stream plan derives
+        # its conv pads for.
+        m = 8 * hop
+        with_la = L + (sw.lookahead_frames + 16) * hop
+        L_pad = ((max(with_la - 7 * hop, 0) + m - 1) // m) * m + 7 * hop
+        buf = np.zeros((1, L_pad), np.float32)
+        buf[0, :L] = audio[0]
+        feats, flens = fe_cmvn(buf, lens)
+        lp_model, out_lens = model.apply(variables, feats, flens,
+                                         train=False)
+        lp_fold, _ = offline_forward(layers, folded_live, feats, flens,
+                                     padding_mode=pad_mode)
+        lp_art, _ = offline_forward(layers, folded_art, feats, flens,
+                                    padding_mode=pad_mode)
+        lp_stream = stream_logprobs(sw, audio, length=int(lens[0]))
+        v = min(int(out_lens[0]), lp_stream.shape[1])
+        lp_model, lp_fold, lp_art = (np.asarray(x)[:, :v]
+                                     for x in (lp_model, lp_fold, lp_art))
+        deltas['model_vs_folded'] = max(
+            deltas['model_vs_folded'],
+            float(np.abs(lp_model - lp_fold).max()))
+        deltas['folded_vs_artifact'] = max(
+            deltas['folded_vs_artifact'],
+            float(np.abs(lp_fold - lp_art).max()))
+        deltas['streaming_vs_folded'] = max(
+            deltas['streaming_vs_folded'],
+            float(np.abs(np.asarray(lp_stream)[:, :v] - lp_fold).max()))
+        used += 1
+        if used >= n_utts:
+            break
+    result = {'utterances': used}
+    failures = []
+    for name, tol in PARITY_TOL.items():
+        result[name] = {'max_abs_delta': deltas[name], 'tolerance': tol,
+                        'ok': deltas[name] <= tol}
+        if deltas[name] > tol:
+            failures.append(f'{name}: {deltas[name]:.2e} > {tol:.0e}')
+    if failures:
+        print(f'PARITY FAILURE: {failures}', file=sys.stderr)
+    return result, not failures
 
 
 def main(argv=None):
@@ -50,14 +198,7 @@ def main(argv=None):
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    import importlib.util
-    here = os.path.dirname(os.path.abspath(__file__))
-    spec = importlib.util.spec_from_file_location(
-        'train_synthetic_demo', os.path.join(here,
-                                             'train_synthetic_demo.py'))
-    demo = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(demo)
-
+    demo = _load_module('train_synthetic_demo')
     manifests = demo.make_corpus(os.path.join(args.out, 'data'),
                                  n_train=args.n_train)
     run_dir = os.path.join(args.out, 'run')
@@ -71,41 +212,99 @@ def main(argv=None):
         print(buf.getvalue().strip().splitlines()[-1], file=sys.stderr)
 
     val = manifests['val']
-    results = {}
-    results['offline'] = _run_eval(['--model-path', run_dir,
-                                    '--test-manifest', val])
-    results['streaming'] = _run_eval(['--model-path', run_dir,
-                                      '--test-manifest', val,
-                                      '--streaming',
-                                      '--streaming-chunk-frames', '32'])
+    exp = _load_module('export_serving')
+    art_f32 = os.path.join(args.out, 'artifact_f32')
+    art_int8 = os.path.join(args.out, 'artifact_int8')
+    for art, flags in ((art_f32, []), (art_int8, ['--int8', '--calibrate'])):
+        rc = exp.main(['--model-path', run_dir, '--out', art,
+                       '--cmvn-manifest', manifests['train']] + flags)
+        assert rc == 0
 
-    art = os.path.join(args.out, 'artifact')
-    spec2 = importlib.util.spec_from_file_location(
-        'export_serving', os.path.join(here, 'export_serving.py'))
-    exp = importlib.util.module_from_spec(spec2)
-    spec2.loader.exec_module(exp)
-    rc = exp.main(['--model-path', run_dir, '--out', art, '--int8',
-                   '--cmvn-manifest', manifests['train'], '--calibrate'])
-    assert rc == 0
-    results['artifact_streaming'] = _run_eval(
-        ['--artifact', art, '--test-manifest', val,
-         '--streaming-chunk-frames', '32'])
-    results['artifact_offline'] = _run_eval(
-        ['--artifact', art, '--test-manifest', val, '--offline'])
-    results['artifact_int8_full'] = _run_eval(
-        ['--artifact', art, '--test-manifest', val, '--offline',
-         '--int8-full'])
+    # ---- Level 1: exact log-prob parity ------------------------------
+    parity, parity_ok = run_parity(run_dir, art_f32, val)
 
-    out = {'corpus': 'synthetic (scripts/train_synthetic_demo.py)',
-           'epochs': args.epochs}
-    for name, r in results.items():
-        out[name] = {'wer': round(r['wer'], 4), 'cer': round(r['cer'], 4)}
+    # ---- Level 2: WER matrix with normalization tags -----------------
+    # tag -> same model input; same-tag rows must agree to 0.5 WER pts.
+    paths = {
+        'offline': (['--model-path', run_dir, '--test-manifest', val],
+                    'per_utterance'),
+        'streaming': (['--model-path', run_dir, '--test-manifest', val,
+                       '--streaming', '--streaming-chunk-frames', '32'],
+                      'cumulative'),
+        'artifact_offline_f32': (['--artifact', art_f32,
+                                  '--test-manifest', val, '--offline'],
+                                 'cmvn'),
+        'artifact_streaming_f32': (['--artifact', art_f32,
+                                    '--test-manifest', val,
+                                    '--streaming-chunk-frames', '32'],
+                                   'cmvn'),
+        'artifact_streaming_int8': (['--artifact', art_int8,
+                                     '--test-manifest', val,
+                                     '--streaming-chunk-frames', '32'],
+                                    'cmvn_int8'),
+        'artifact_int8_full': (['--artifact', art_int8,
+                                '--test-manifest', val, '--offline',
+                                '--int8-full'],
+                               'cmvn_int8_full'),
+    }
+    results, tags = {}, {}
+    for name, (argv_eval, tag) in paths.items():
+        r = _run_eval(argv_eval)
+        results[name] = {'wer': round(r['wer'], 4),
+                         'cer': round(r['cer'], 4), 'normalization': tag}
+        if 'skipped_below_prime' in r:
+            results[name]['skipped_below_prime'] = r['skipped_below_prime']
+        tags.setdefault(tag, []).append(name)
+
+    wer_ok = True
+    same_tag_checks = []
+    for tag, names in tags.items():
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a, b = names[i], names[j]
+                # Streaming skips sub-prime utterances; only compare
+                # same-coverage rows exactly.
+                if results[a].get('skipped_below_prime', 0) != \
+                        results[b].get('skipped_below_prime', 0):
+                    continue
+                d = abs(results[a]['wer'] - results[b]['wer'])
+                ok = d <= SAME_TAG_WER_TOL
+                wer_ok &= ok
+                same_tag_checks.append(
+                    {'pair': [a, b], 'tag': tag, 'wer_delta': round(d, 4),
+                     'ok': ok})
+
+    off, cmvn_off = results['offline']['wer'], \
+        results['artifact_offline_f32']['wer']
+    out = {
+        'corpus': 'synthetic (scripts/train_synthetic_demo.py)',
+        'epochs': args.epochs,
+        'parity': parity,
+        'paths': results,
+        'same_tag_checks': same_tag_checks,
+        'cross_tag_explanations': {
+            'offline_vs_cmvn': {
+                'wer_delta': round(off - cmvn_off, 4),
+                'explanation':
+                    'offline normalizes each utterance with its own '
+                    'full-utterance feature statistics; artifact paths '
+                    'normalize with corpus CMVN stats — a different model '
+                    'input, so a WER delta here is a normalization-mode '
+                    'effect, not a serving regression (the same-tag checks '
+                    'above pin the serving math itself). This is also the '
+                    'root cause of any streaming-vs-offline WER anomaly: '
+                    'streaming uses cumulative running stats, a third '
+                    'normalization mode.'},
+        },
+        'ok': bool(parity_ok and wer_ok),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(os.path.dirname(here), 'benchmarks',
                         'serving_validation.json')
     with open(path, 'w') as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
-    return 0
+    return 0 if out['ok'] else 1
 
 
 if __name__ == '__main__':
