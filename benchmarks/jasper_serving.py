@@ -73,10 +73,16 @@ def main():
                'utt_per_sec': round(B32 / (ms32 / 1e3), 1),
                'audio_sec_per_sec': round(B32 * SECONDS / (ms32 / 1e3), 0)}
 
+    # int8_full_dw = the round-2 behavior (depthwise convs also int8):
+    # kept as a measured datapoint for why the default quantizes only the
+    # pointwise/MXU convs (streaming_jasper.py int8_depthwise docstring).
     stream = {}
-    for mode in ('f32', 'int8', 'int8_full'):
+    for mode in ('f32', 'int8', 'int8_full', 'int8_full_dw'):
+        kw = dict(weights=mode)
+        if mode == 'int8_full_dw':
+            kw = dict(weights='int8_full', int8_depthwise=True)
         sj = StreamingJasper(blocks, len(labels), variables, frontend,
-                             chunk_frames=CHUNK_FRAMES, weights=mode)
+                             chunk_frames=CHUNK_FRAMES, **kw)
         stream[mode] = {'prime_s': round(sj.prime_samples / SR, 2),
                         'lookahead_s': round(sj.lookahead_frames * 0.01, 2)}
         for B in (1, 16):

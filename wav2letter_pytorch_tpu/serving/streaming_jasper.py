@@ -239,11 +239,22 @@ class StreamingJasper(_FrontendStreaming):
 
     def __init__(self, jasper_blocks, num_labels: int, variables, frontend,
                  chunk_frames: int = 64, norm: str = 'cumulative',
-                 norm_stats=None, weights: str = 'f32', folded=None):
+                 norm_stats=None, weights: str = 'f32', folded=None,
+                 int8_depthwise: bool = False):
         """``folded``: a pre-folded ``(blocks, head)`` pair (from
         ``fold_jasper`` or an exported artifact via ``load_serving``);
         when given, ``variables`` may be None. ``weights='int8'`` still
-        applies — quantization happens below on whichever fold is used."""
+        applies — quantization happens below on whichever fold is used.
+
+        ``int8_depthwise``: in ``int8_full`` mode, also run the DEPTHWISE
+        convs with int8 activations. Off by default: depthwise convs are
+        VPU work (one tap-dot per channel — no MXU contraction to
+        accelerate), so quantizing them only adds quantize/dequantize
+        traffic; measured at batch 16 this made int8_full ~70% SLOWER
+        than f32 (benchmarks/jasper_serving.json round 2). With the
+        default, depthwise stays on dequantized-f32 weights (plain
+        ``int8`` semantics) and only the pointwise/full convs hit the
+        int8 MXU path."""
         import jax
 
         self.num_labels = num_labels
@@ -258,6 +269,7 @@ class StreamingJasper(_FrontendStreaming):
             raise ValueError(f'unknown weights mode: {weights!r}')
         self._int8 = weights in ('int8', 'int8_full')
         self._act_int8 = weights == 'int8_full'
+        self._int8_dw = bool(int8_depthwise)
 
         # Main-chain specs (the stream plan ignores 1x1 residual branches —
         # they never change frame counts; norms/shuffles are frame-local).
@@ -446,7 +458,8 @@ class StreamingJasper(_FrontendStreaming):
                         buf = h
                         new_carries.append(carries[ci])  # zero-size
                     groups = op['fgc']
-                    if self._act_int8:
+                    if self._act_int8 and (self._int8_dw
+                                           or not op['depthwise']):
                         # int8 x int8 -> int32 on the MXU (grouped convs
                         # included — verified bit-exact on-chip).
                         from .infer import dynamic_act_scale, quantize_act
