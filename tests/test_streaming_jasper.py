@@ -322,8 +322,11 @@ def test_jasper_stream_norm_variants(kind, ng):
     model = Jasper(jasper_blocks=blocks, num_labels=7, mid_layers=len(blocks))
     t0 = 8000
     feats, flens = frontend(np.zeros((1, t0), np.float32), np.array([t0]))
-    variables = jax.device_get(model.init(jax.random.PRNGKey(3), feats,
-                                          flens, train=False))
+    # Pin the PRNG impl: trainer tests flip the global default to 'rbg',
+    # which would change this test's weight draw (and the convergence
+    # tolerances below are draw-sensitive) depending on test order.
+    key = jax.random.key(3, impl='threefry2x32')
+    variables = jax.device_get(model.init(key, feats, flens, train=False))
     assert not variables.get('batch_stats')  # no running stats to fold
 
     stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
