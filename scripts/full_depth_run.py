@@ -107,7 +107,7 @@ def main(argv=None):
     artifact = os.path.join(args.run_dir, 'artifact')
     export_main(['--model-path', args.run_dir, '--out', artifact,
                  '--int8', '--cmvn-manifest', manifests['train'],
-                 '--calibrate'])
+                 '--cmvn-limit', '1000', '--calibrate'])
     results['test_artifact_offline_int8full'] = run_test_cli(
         ['--artifact', artifact, '--test-manifest', manifests['test'],
          '--offline', '--int8-full'])

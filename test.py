@@ -413,6 +413,14 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
 
     is_beam = isinstance(decoder, (PrefixBeamSearchLMDecoder,
                                    DeviceBeamDecoder))
+    # Offline fallback for sub-prime utterances: ONE jitted program over
+    # 0.5 s-grid padded shapes. Raw per-utterance lengths would compile a
+    # fresh XLA program per distinct duration (and un-jitted apply would
+    # dispatch every conv separately) — hours over a remote device tunnel.
+    _fb = jax.jit(lambda v, a, l: model.apply(v, *frontend(a, l),
+                                              train=False))
+    _fb_vars = jax.device_put(variables)
+    _fb_grid = max(sr // 2, 1)
     acc = RatioAccumulator()
     n_fallback = 0
     for i in range(len(ds)):
@@ -420,9 +428,11 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
         audio = np.asarray(audio, np.float32)[None, :]
         if audio.shape[1] <= sw.prime_samples:
             n_fallback += 1
-            feats, flens = frontend(audio, np.array([audio.shape[1]]))
-            logp, out_lens = model.apply(variables, feats, flens,
-                                         train=False)
+            L = audio.shape[1]
+            L_pad = ((L + _fb_grid - 1) // _fb_grid) * _fb_grid
+            buf = np.zeros((1, L_pad), np.float32)
+            buf[0, :L] = audio[0]
+            logp, out_lens = _fb(_fb_vars, buf, np.array([L], np.int32))
             logp = np.asarray(logp)[:, :int(out_lens[0])]
         else:
             from wav2letter_pytorch_tpu.serving.streaming import \

@@ -32,14 +32,25 @@ def compute_cmvn(manifest_path: str, frontend_factory, labels,
     unnormalized masked features. Returns (mean [M], std [M]) — the
     ``norm_stats`` for exact-mode streaming and fixed-stat offline eval.
     """
+    import jax
+
     from ..data.dataset import ManifestDataset
     ds = ManifestDataset(manifest_path, audio_conf, labels)
     frontend = frontend_factory(normalize=False)
     n = len(ds) if limit is None else min(limit, len(ds))
+    # Jit over 0.5 s-grid padded shapes: raw per-utterance lengths would
+    # trace a fresh program per distinct duration and dispatch the
+    # frontend op-by-op — a multi-thousand-utterance manifest takes tens
+    # of minutes over a remote device tunnel that way, ~2 min this way.
+    fe = jax.jit(lambda a, l: frontend(a, l))
+    grid = max(int(audio_conf['sample_rate']) // 2, 1)
     count, total, total_sq = 0.0, None, None
     for i in range(n):
-        audio = np.asarray(ds[i][0], np.float32)[None, :]
-        feats, flens = frontend(audio, np.array([audio.shape[1]]))
+        audio = np.asarray(ds[i][0], np.float32)
+        L = len(audio)
+        buf = np.zeros((1, ((L + grid - 1) // grid) * grid), np.float32)
+        buf[0, :L] = audio
+        feats, flens = fe(buf, np.array([L], np.int32))
         feats = np.asarray(feats)[0, :int(flens[0])]
         count += feats.shape[0]
         s, ss = feats.sum(0), np.square(feats).sum(0)
