@@ -92,15 +92,28 @@ def main():
             chunk = jax.device_put(
                 (rng.standard_normal((B, sj.chunk_samples)) * 0.1)
                 .astype(np.float32))
-            state, step, w = sess._state, sj._step_fn, sj._weights_dev
-            ms = _timeit(lambda: step(w, state, chunk),
-                         lambda o: float(o[1][0, 0, 0])) * 1e3
+            state, w = sess._state, sj._weights_dev
+            # K chained steps in ONE compiled dispatch: per-call timings
+            # at the 2-5 ms scale mostly measure the device-tunnel RTT
+            # (docs/ROADMAP.md methodology), so amortize it 50x.
+            K = 50
+            scan_fn = jax.jit(lambda w_, s_, c_: jax.lax.scan(
+                lambda st, _: (sj._step(w_, st, c_)[0], 0), s_, None,
+                length=K))
+            ms = _timeit(lambda: scan_fn(w, state, chunk),
+                         lambda o: float(o[0].norm_count[0]),
+                         reps=4) * 1e3 / K
             stream[mode][f'step_ms_b{B}'] = round(ms, 3)
             stream[mode][f'streams_per_chip_b{B}'] = int(
                 B * CHUNK_FRAMES * 10 / ms)
 
     out = {'metric': 'jasper15_serving', 'offline_b32': offline,
-           'streaming': stream, 'device': str(jax.devices()[0])}
+           'streaming': stream, 'device': str(jax.devices()[0]),
+           'note': 'step_ms = per-step DEVICE time (50 chained steps per '
+                   'dispatch); add one runtime dispatch per chunk cadence '
+                   'in deployment (~0.1 ms local host, 1-3 ms via a '
+                   'remote device tunnel). Round-2 numbers were per-call '
+                   'and dominated by tunnel RTT.'}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            'jasper_serving.json'), 'w') as f:
         json.dump(out, f, indent=2)
