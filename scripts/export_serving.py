@@ -35,6 +35,8 @@ def main(argv=None):
                              'int8 activation scales (percentile over '
                              'calibration utterances) for int8_full '
                              'inference')
+    parser.add_argument('--calibrate-clips', type=int, default=8,
+                        help='utterances used for activation calibration')
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -95,7 +97,7 @@ def main(argv=None):
         from wav2letter_pytorch_tpu.data.dataset import ManifestDataset
         ds = ManifestDataset(args.cmvn_manifest, cfg.data.audio_conf,
                              labels)
-        n = min(8, len(ds))
+        n = min(args.calibrate_clips, len(ds))
         clips = [np.asarray(ds[i][0], np.float32) for i in range(n)]
         maxlen = max(len(c) for c in clips)
         audio = np.zeros((n, maxlen), np.float32)

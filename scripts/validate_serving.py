@@ -246,8 +246,16 @@ def main(argv=None):
         'streaming': (['--model-path', run_dir, '--test-manifest', val,
                        '--streaming', '--streaming-chunk-frames', '32'],
                       'cumulative'),
+        # Same math as 'offline' through a different runtime (MeshInference
+        # over the artifact fold, per-utterance norm): a same-tag pair
+        # crossing the run-dir/artifact boundary.
+        'artifact_offline_perutt': (['--artifact', art_f32,
+                                     '--test-manifest', val, '--offline',
+                                     '--offline-norm', 'per-utterance'],
+                                    'per_utterance'),
         'artifact_offline_f32': (['--artifact', art_f32,
-                                  '--test-manifest', val, '--offline'],
+                                  '--test-manifest', val, '--offline',
+                                  '--offline-norm', 'cmvn'],
                                  'cmvn'),
         'artifact_streaming_f32': (['--artifact', art_f32,
                                     '--test-manifest', val,
@@ -259,7 +267,7 @@ def main(argv=None):
                                     'cmvn_int8'),
         'artifact_int8_full': (['--artifact', art_int8,
                                 '--test-manifest', val, '--offline',
-                                '--int8-full'],
+                                '--offline-norm', 'cmvn', '--int8-full'],
                                'cmvn_int8_full'),
     }
     results, tags = {}, {}

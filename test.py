@@ -78,6 +78,13 @@ def main(argv=None):
                         help='artifact mode: batched mesh-sharded offline '
                              'inference (serving.MeshInference) instead of '
                              'per-utterance streaming')
+    parser.add_argument('--offline-norm', default='per-utterance',
+                        choices=['per-utterance', 'cmvn'],
+                        help='feature normalization for --artifact '
+                             '--offline: per-utterance (training-exact; '
+                             'offline has every frame, so this is the '
+                             'accuracy-correct default) or the artifact '
+                             'CMVN stats (what streaming must use)')
     parser.add_argument('--int8-full', action='store_true',
                         help='with --artifact --offline on an int8 '
                              'artifact: run int8 activations too (the MXU '
@@ -331,10 +338,18 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
     from wav2letter_pytorch_tpu.serving import MeshInference, quantize_folded
     from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
 
+    # Offline inference sees every frame, so per-utterance normalization
+    # (exactly what training used) is available and is the default; CMVN
+    # is the stream-compatible mode. On the full-depth corpus the
+    # difference measured 6.1% vs 10.5% WER with IDENTICAL weights —
+    # quantization itself cost ~0 (benchmarks/full_depth_run.json).
+    use_cmvn = args.offline_norm == 'cmvn'
+    if use_cmvn and norm_stats is None:
+        raise SystemExit('--offline-norm cmvn: artifact has no CMVN stats')
     frontend = SpectrogramFrontend(
         conf, n_mels=n_mels, dither=0.0,
         feature_type=meta.get('feature_type', 'logmel'),
-        norm_stats=norm_stats)
+        norm_stats=norm_stats if use_cmvn else None)
     mode = meta['format']
     if args.int8_full:
         if meta['format'] != 'int8':
@@ -365,7 +380,7 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
                 print(f'decoded  : {decoded[j]}')
     result = {'loss': None, 'num_utterances': len(ds), 'offline': True,
               'artifact': args.artifact, 'weights': mode,
-              'mesh_devices': n_dev}
+              'normalization': args.offline_norm, 'mesh_devices': n_dev}
     result.update(acc.ratios())
     print(json.dumps(result))
     return 0

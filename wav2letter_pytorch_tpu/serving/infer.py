@@ -66,7 +66,8 @@ def offline_forward(layers, folded, feats, input_lengths=None,
 
 
 def offline_forward_q8(layers, folded_q, feats, input_lengths=None,
-                       padding_mode: str = 'reflect', act_scales=None):
+                       padding_mode: str = 'reflect', act_scales=None,
+                       f32_layers=()):
     """Full int8 inference: int8 weights AND int8 activations.
 
     Activations are quantized with a symmetric scale before each conv; the
@@ -82,6 +83,13 @@ def offline_forward_q8(layers, folded_q, feats, input_lengths=None,
     given, so a bucket's padding cannot stretch the quantization grid).
     Use ``quantize.quantize_folded`` weights; accuracy is approximate —
     validate WER on a dev set before deploying.
+
+    ``f32_layers``: layer indices (and/or ``'head'``) to run with
+    dequantized-f32 math instead of int8 activations — the standard
+    mixed-precision mitigation when full-int8 costs too much accuracy
+    (first conv and head are typically the sensitive ones). Compute cost
+    is per-layer proportional, so exempting 2 of 21 layers keeps ~90% of
+    the int8 speedup.
     """
     import jax
     import jax.numpy as jnp
@@ -93,31 +101,46 @@ def offline_forward_q8(layers, folded_q, feats, input_lengths=None,
     geometry = _layer_geometry(layers)
     for i, ((k, s, d), (q, w_scale, b)) in enumerate(
             zip(geometry, folded_q[:-1])):
-        a_scale = _act_scale(x, act_scales, i, cur_len)
-        xq = quantize_act(x, a_scale)
         left, right = same_pad_amount(x.shape[1], k, s, d)
-        if left or right:
-            xq = jnp.pad(xq, ((0, 0), (left, right), (0, 0)),
-                         mode='reflect' if padding_mode == 'reflect'
-                         else 'constant')
-        y = jax.lax.conv_general_dilated(
-            xq, jnp.asarray(q), window_strides=(s,), padding='VALID',
-            rhs_dilation=(d,), dimension_numbers=('NWC', 'WIO', 'NWC'),
-            preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * (a_scale * jnp.asarray(w_scale)
-                                     [None, None, :])
+        pad_mode = 'reflect' if padding_mode == 'reflect' else 'constant'
+        if i in f32_layers:
+            w = jnp.asarray(q, jnp.float32) \
+                * jnp.asarray(w_scale)[None, None, :]
+            xf = x
+            if left or right:
+                xf = jnp.pad(xf, ((0, 0), (left, right), (0, 0)),
+                             mode=pad_mode)
+            y = jax.lax.conv_general_dilated(
+                xf, w, window_strides=(s,), padding='VALID',
+                rhs_dilation=(d,), dimension_numbers=('NWC', 'WIO', 'NWC'))
+        else:
+            a_scale = _act_scale(x, act_scales, i, cur_len)
+            xq = quantize_act(x, a_scale)
+            if left or right:
+                xq = jnp.pad(xq, ((0, 0), (left, right), (0, 0)),
+                             mode=pad_mode)
+            y = jax.lax.conv_general_dilated(
+                xq, jnp.asarray(q), window_strides=(s,), padding='VALID',
+                rhs_dilation=(d,), dimension_numbers=('NWC', 'WIO', 'NWC'),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (a_scale * jnp.asarray(w_scale)
+                                         [None, None, :])
         x = jnp.clip(y + jnp.asarray(b), 0.0, 20.0)
         scale_total *= s
         if cur_len is not None:
             cur_len = cur_len // s
     qh, sh, bh = folded_q[-1]
-    a_scale = _act_scale(x, act_scales, len(folded_q) - 1, cur_len)
-    xq = quantize_act(x, a_scale)
-    logits = jax.lax.dot_general(
-        xq, jnp.asarray(qh)[0], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32) \
-        .astype(jnp.float32) * (a_scale * jnp.asarray(sh)[None, None, :]) \
-        + jnp.asarray(bh)
+    if 'head' in f32_layers:
+        wh = jnp.asarray(qh, jnp.float32)[0] * jnp.asarray(sh)[None, :]
+        logits = jnp.einsum('btc,cl->btl', x, wh) + jnp.asarray(bh)
+    else:
+        a_scale = _act_scale(x, act_scales, len(folded_q) - 1, cur_len)
+        xq = quantize_act(x, a_scale)
+        logits = jax.lax.dot_general(
+            xq, jnp.asarray(qh)[0], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32) \
+            .astype(jnp.float32) * (a_scale * jnp.asarray(sh)[None, None, :]) \
+            + jnp.asarray(bh)
     logp = jax.nn.log_softmax(logits, axis=-1)
     if input_lengths is None:
         return logp, None
