@@ -73,6 +73,46 @@ def test_multiplexer_matches_dedicated_sessions(sw):
     assert finals == expected
 
 
+def test_tick_ready_skips_starved_slots_exactly(sw):
+    """tick_ready must advance only chunk-complete slots; a starved slot's
+    state must be bit-identical to never having been stepped, so its final
+    transcript still matches a dedicated session."""
+    rng = np.random.default_rng(11)
+    cs, ps = sw.chunk_samples, sw.prime_samples
+    fast = (rng.standard_normal(ps + 4 * cs + 100) * 0.3).astype(np.float32)
+    slow = (rng.standard_normal(ps + 2 * cs + 900) * 0.3).astype(np.float32)
+    expected = [_dedicated(sw, fast), _dedicated(sw, slow)]
+
+    mux = StreamMultiplexer(sw, slots=3, labels=LABELS)
+    fa, sl = mux.attach(), mux.attach()
+    mux.feed(fa, fast)            # fast client: everything up front
+    mux.feed(sl, slow[:ps])       # slow client: primes but starves
+    stepped = mux.tick_ready()
+    assert sl not in stepped      # starved slot skipped, no exception
+    while mux.pending(fa) >= cs:
+        mux.tick_ready()
+    got_fast = mux.detach(fa)
+    mux.feed(sl, slow[ps:])       # slow client catches up afterwards
+    while mux.pending(sl) >= cs:
+        mux.tick_ready()
+    got_slow = mux.detach(sl)
+    assert [got_fast, got_slow] == expected
+
+
+def test_multiplexer_abort_frees_slot(sw):
+    rng = np.random.default_rng(5)
+    mux = StreamMultiplexer(sw, slots=1, labels=LABELS)
+    s = mux.attach()
+    mux.feed(s, (rng.standard_normal(200) * 0.3).astype(np.float32))
+    mux.abort(s)                  # unprimed abort
+    audio = (rng.standard_normal(sw.prime_samples + 10) * 0.3) \
+        .astype(np.float32)
+    s2 = mux.attach()             # slot reusable, state reset
+    assert s2 == s
+    mux.feed(s2, audio)
+    assert mux.detach(s2) == _dedicated(sw, audio)
+
+
 def test_multiplexer_slot_reuse_and_errors(sw):
     rng = np.random.default_rng(3)
     mux = StreamMultiplexer(sw, slots=2, labels=LABELS)

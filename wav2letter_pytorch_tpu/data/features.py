@@ -192,6 +192,7 @@ class SpectrogramFrontend:
         win_len = audio_conf.window_size_samples
         self.hop = audio_conf.hop_samples
         self.n_fft = n_fft
+        self.sample_rate = audio_conf.sample_rate
 
         window = get_window(audio_conf.window, win_len)
         # Center the window inside the n_fft frame (torch.stft semantics

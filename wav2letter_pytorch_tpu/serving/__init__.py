@@ -15,7 +15,10 @@ inference stack:
 * ``export`` — self-contained serving artifacts (weights + CMVN +
   calibration) for both families;
 * ``parallel_infer`` — mesh-sharded batched inference (``MeshInference``);
-* ``server`` — dynamic multi-stream batching (``StreamMultiplexer``).
+* ``server`` — dynamic multi-stream batching (``StreamMultiplexer``);
+* ``net`` — the TCP transport over the multiplexer (``StreamingServer``
+  + ``StreamClient``): framed live-audio protocol, jitter-tolerant
+  batched ticking, partial + final transcripts.
 
 See docs/SERVING.md for the end-to-end guide and measured numbers.
 """
@@ -25,6 +28,7 @@ from .export import (compute_cmvn, export_serving, export_serving_jasper,
 from .infer import offline_forward, offline_forward_q8
 from .parallel_infer import MeshInference
 from .server import StreamMultiplexer
+from .net import StreamClient, StreamingServer
 from .quantize import (calibrate_activation_scales, quantize_folded,
                        quantized_bytes)
 from .streaming_jasper import StreamingJasper, fold_jasper
@@ -39,4 +43,4 @@ __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
            'quantized_bytes', 'export_serving', 'export_serving_jasper',
            'load_serving',
            'compute_cmvn', 'MeshInference', 'calibrate_activation_scales',
-           'StreamMultiplexer']
+           'StreamMultiplexer', 'StreamingServer', 'StreamClient']

@@ -265,3 +265,47 @@ def load_serving(artifact_dir: str):
         else:
             folded.append((npz[f'w{i}'], npz[f'b{i}']))
     return meta, folded, norm_stats
+
+
+def streaming_from_artifact(artifact_dir: str, chunk_frames: int = 64):
+    """Build a ready-to-stream model from a serving artifact.
+
+    Returns ``(model, labels, meta)`` where ``model`` is a
+    ``StreamingWav2Letter`` / ``StreamingJasper`` in the artifact's weight
+    format with the artifact's CMVN stats — the construction test.py's
+    ``--artifact`` streaming eval performs, packaged for servers
+    (scripts/serve_tcp.py) and embedders.
+    """
+    from ..data.features import AudioConfig, SpectrogramFrontend
+
+    meta, folded, norm_stats = load_serving(artifact_dir)
+    family = meta.get('family', 'wav2letter')
+    labels, ac = meta.get('labels'), meta.get('audio_conf')
+    if labels is None or ac is None:
+        raise ValueError('artifact lacks labels/audio_conf metadata')
+    conf = AudioConfig(sample_rate=int(ac['sample_rate']),
+                       window_size=float(ac['window_size']),
+                       window_stride=float(ac['window_stride']),
+                       window=ac.get('window', 'hamming'))
+    n_mels = meta.get('n_mels') or (folded[0][0].shape[1]
+                                    if family == 'wav2letter' else None)
+    if n_mels is None:
+        raise ValueError('artifact lacks n_mels metadata')
+    frontend = SpectrogramFrontend(
+        conf, n_mels=int(n_mels), dither=0.0,
+        feature_type=meta.get('feature_type', 'logmel'))
+    kw = {}
+    if norm_stats is not None:
+        kw = dict(norm='precomputed', norm_stats=norm_stats)
+    if family == 'jasper':
+        from .streaming_jasper import StreamingJasper
+        model = StreamingJasper(meta['jasper_blocks'], meta['num_labels'],
+                                None, frontend, folded=folded,
+                                chunk_frames=chunk_frames, **kw)
+    else:
+        from .streaming import StreamingWav2Letter
+        model = StreamingWav2Letter(
+            meta['layers'], meta['num_labels'], None, frontend,
+            folded=folded, chunk_frames=chunk_frames,
+            padding_mode=meta.get('padding_mode', 'reflect'), **kw)
+    return model, labels, meta

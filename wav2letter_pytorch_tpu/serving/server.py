@@ -104,15 +104,57 @@ class StreamMultiplexer:
                 raise RuntimeError(
                     f'slot {s} starved: {len(self._buf[s])} < {cs} '
                     'samples buffered at tick (real-time contract)')
+        return self._step(stepped)
+
+    def tick_ready(self):
+        """Advance only the primed streams holding a full buffered chunk.
+
+        The jitter-tolerant variant of :meth:`tick` for network transports
+        (serving/net.py): a lagging client simply doesn't advance this
+        round instead of poisoning the whole batch. Costs one extra fused
+        select over the state (rows of skipped slots keep their old
+        values); rows never interact, so skipped slots are bit-identical
+        to not having stepped at all.
+        """
+        cs = self.m.chunk_samples
+        stepped = [s for s in range(self.slots)
+                   if self._active[s] and self._primed[s]
+                   and len(self._buf[s]) >= cs]
+        if not stepped:
+            return {}
+        return self._step(stepped)
+
+    def _step(self, stepped):
+        cs = self.m.chunk_samples
         chunks = np.zeros((self.slots, cs), np.float32)
         for s in stepped:
             chunks[s] = self._buf[s][:cs]
             self._buf[s] = self._buf[s][cs:]
             self._consumed[s] += cs
-        self._state, logp = self.m._step_fn(self.m._weights_dev,
-                                            self._state, chunks)
+        new_state, logp = self.m._step_fn(self.m._weights_dev,
+                                          self._state, chunks)
+        if len(stepped) < self.slots:
+            mask = np.zeros(self.slots, bool)
+            mask[stepped] = True
+            self._state = self._select_fn(mask, new_state, self._state)
+        else:
+            self._state = new_state
         logp = np.asarray(logp)
         return {s: self._decode(s, logp[s]) for s in stepped}
+
+    @property
+    def _select_fn(self):
+        """Jitted per-row select: keep old state rows where mask is False."""
+        import jax
+        import jax.numpy as jnp
+        if not hasattr(self, '_select_fn_cached'):
+            def sel(mask, new, old):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+                    new, old)
+            self._select_fn_cached = jax.jit(sel)
+        return self._select_fn_cached
 
     def detach(self, slot: int, total_samples: int | None = None) -> str:
         """Flush ``slot`` through the single-row finish program and free
@@ -145,6 +187,12 @@ class StreamMultiplexer:
         text = self._text[slot]
         self._active[slot] = False
         return text
+
+    def abort(self, slot: int) -> None:
+        """Free ``slot`` without flushing (client vanished / stream too
+        short to prime). Safe in every slot state: the next attach resets
+        all host bookkeeping and prime overwrites the state rows."""
+        self._active[slot] = False
 
     def text(self, slot: int) -> str:
         return self._text[slot]

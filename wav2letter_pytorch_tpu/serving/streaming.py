@@ -144,6 +144,7 @@ class _FrontendStreaming:
         self.hop = frontend.hop
         self.n_fft = frontend.n_fft
         self.n_mels = frontend.n_mels
+        self.sample_rate = getattr(frontend, 'sample_rate', 16000)
         # MFCC frontends apply an orthonormal DCT after the log-mel stage
         # (features.py:313-315); replicate so MFCC-trained models stream
         # the feature space they trained on.
