@@ -12,6 +12,8 @@ inference stack:
   inference (``offline_forward_q8``);
 * ``quantize`` — per-channel int8 weights and static activation-scale
   calibration;
+* ``qat`` — quantization-aware finetuning of the folded stack against
+  the int8 deployment graph (``qat_finetune``, STE fake-quant);
 * ``export`` — self-contained serving artifacts (weights + CMVN +
   calibration) for both families;
 * ``parallel_infer`` — mesh-sharded batched inference (``MeshInference``);
@@ -29,6 +31,7 @@ from .infer import offline_forward, offline_forward_q8
 from .parallel_infer import MeshInference
 from .server import StreamMultiplexer
 from .net import StreamClient, StreamingServer
+from .qat import qat_finetune, qat_forward
 from .quantize import (calibrate_activation_scales, quantize_folded,
                        quantized_bytes)
 from .streaming_jasper import StreamingJasper, fold_jasper
@@ -43,4 +46,5 @@ __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
            'quantized_bytes', 'export_serving', 'export_serving_jasper',
            'load_serving',
            'compute_cmvn', 'MeshInference', 'calibrate_activation_scales',
-           'StreamMultiplexer', 'StreamingServer', 'StreamClient']
+           'StreamMultiplexer', 'StreamingServer', 'StreamClient',
+           'qat_finetune', 'qat_forward']
