@@ -37,6 +37,9 @@ def main(argv=None):
                              'inference')
     parser.add_argument('--calibrate-clips', type=int, default=8,
                         help='utterances used for activation calibration')
+    parser.add_argument('--average-last', type=int, default=None,
+                        help='average the newest K checkpoints\' weights '
+                             'before export (checkpoint averaging)')
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -49,7 +52,8 @@ def main(argv=None):
         calibrate_activation_scales
     from wav2letter_pytorch_tpu.training import build_frontend, load_run
 
-    cfg, trainer, model, frontend, labels = load_run(args.model_path)
+    cfg, trainer, model, frontend, labels = load_run(
+        args.model_path, average_last=args.average_last)
     family = str(cfg.model.name)
     if family not in ('wav2letter', 'jasper'):
         raise SystemExit(f'unknown model family {family!r}')

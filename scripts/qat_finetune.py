@@ -73,6 +73,9 @@ def main(argv=None):
     parser.add_argument('--batch-size', type=int, default=16)
     parser.add_argument('--eval-manifest', default='',
                         help='report int8_full greedy WER before/after')
+    parser.add_argument('--average-last', type=int, default=None,
+                        help='start from the average of the newest K '
+                             'checkpoints (checkpoint averaging)')
     parser.add_argument('--f32-layers', default='',
                         help="comma list of layer indices and/or 'head' to "
                              'exempt from quantization (mixed precision)')
@@ -100,7 +103,8 @@ def main(argv=None):
         raise SystemExit('--from-artifact has no act_scales; re-export '
                          'with --int8 --calibrate')
 
-    cfg, trainer, model, _, labels = load_run(args.model_path)
+    cfg, trainer, model, _, labels = load_run(
+        args.model_path, average_last=args.average_last)
     if str(cfg.model.name) != 'wav2letter':
         raise SystemExit('QAT export covers the wav2letter family')
     variables = {'params': jax.device_get(trainer.state.params),

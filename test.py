@@ -96,6 +96,10 @@ def main(argv=None):
                              "batched on-accelerator search (decoding/"
                              "beam_device.py); with --lm-path the n-best "
                              "list is LM-rescored on host")
+    parser.add_argument('--average-last', type=int, default=None,
+                        help='average the weights of the newest K '
+                             'checkpoints before evaluating (checkpoint '
+                             'averaging; --model-path mode only)')
     parser.add_argument('overrides', nargs='*', default=[])
     args = parser.parse_args(argv)
 
@@ -169,9 +173,18 @@ def main(argv=None):
     trainer.init_state(first)
     ckpt = Checkpointer(os.path.join(args.model_path, 'checkpoints'))
     if ckpt.latest_step() is not None:
-        trainer.state = ckpt.restore(jax.device_get(trainer.state))
-        print(f'Loaded checkpoint at step {int(trainer.state.step)}',
-              file=sys.stderr)
+        if args.average_last and args.average_last > 1:
+            from wav2letter_pytorch_tpu.training.checkpoint import \
+                average_checkpoints
+            trainer.state = average_checkpoints(
+                ckpt, jax.device_get(trainer.state), args.average_last)
+            print(f'Averaged last {args.average_last} checkpoints '
+                  f'(through step {int(trainer.state.step)})',
+                  file=sys.stderr)
+        else:
+            trainer.state = ckpt.restore(jax.device_get(trainer.state))
+            print(f'Loaded checkpoint at step {int(trainer.state.step)}',
+                  file=sys.stderr)
     else:
         print('WARNING: no checkpoint found; evaluating random init',
               file=sys.stderr)
@@ -256,6 +269,7 @@ def run_artifact_eval(args):
                        (args.beam_search_params, '--beam-search-params'),
                        (args.word_timings, '--word-timings'),
                        (args.int8, '--int8'),
+                       (args.average_last, '--average-last'),
                        (args.model_path, '--model-path')):
         if flag:
             raise SystemExit(f'{name} is not supported with --artifact '

@@ -68,3 +68,36 @@ def test_metric_dict_without_monitor_key(tmp_path):
     restored = ck.restore(_state(0), step=1)
     assert int(restored['step']) == 1
     ck.close()
+
+
+def test_average_checkpoints(tmp_path):
+    """Uniform weight averaging over the newest K checkpoints: float
+    leaves of params/batch_stats are averaged, everything else (step,
+    opt_state, rng, non-float leaves) comes from the newest."""
+    import jax
+
+    from wav2letter_pytorch_tpu.training.checkpoint import average_checkpoints
+    from wav2letter_pytorch_tpu.training.trainer import TrainState
+
+    def state(x):
+        return TrainState(
+            step=jnp.asarray(x, jnp.int32),
+            params={'w': jnp.full((3,), float(x)),
+                    'n': jnp.asarray(x, jnp.int32)},
+            batch_stats={'mean': jnp.full((2,), 10.0 * x)},
+            opt_state={'mu': jnp.full((3,), float(x))},
+            rng=jax.random.PRNGKey(x))
+
+    ck = Checkpointer(str(tmp_path / 'ck'), keep_last=5)
+    for s in (1, 2, 3):
+        ck.save(s, state(s))
+    avg = average_checkpoints(ck, jax.device_get(state(0)), last_k=2)
+    np.testing.assert_allclose(np.asarray(avg.params['w']), 2.5)
+    np.testing.assert_allclose(np.asarray(avg.batch_stats['mean']), 25.0)
+    assert int(avg.params['n']) == 3          # non-float: newest wins
+    assert int(avg.step) == 3                 # bookkeeping from newest
+    np.testing.assert_allclose(np.asarray(avg.opt_state['mu']), 3.0)
+    # last_k larger than what exists: averages all of them
+    avg_all = average_checkpoints(ck, jax.device_get(state(0)), last_k=99)
+    np.testing.assert_allclose(np.asarray(avg_all.params['w']), 2.0)
+    ck.close()

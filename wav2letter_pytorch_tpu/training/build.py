@@ -71,9 +71,12 @@ def model_input_size(model_cfg) -> int:
     return int(1 + nfft / 2)
 
 
-def load_run(run_dir: str, dither: float = 0.0):
+def load_run(run_dir: str, dither: float = 0.0,
+             average_last: int | None = None):
     """Load a training run directory with its latest checkpoint restored.
 
+    ``average_last``: restore the newest K checkpoints and average their
+    weights (checkpoint.average_checkpoints) instead of taking the latest.
     Returns (cfg, trainer, model, frontend, labels) — the shared recipe of
     test.py / scripts/export_serving.py / scripts/stream_demo.py.
     """
@@ -107,7 +110,12 @@ def load_run(run_dir: str, dither: float = 0.0):
     ckpt = Checkpointer(os.path.join(run_dir, 'checkpoints'))
     if ckpt.latest_step() is None:
         raise FileNotFoundError(f'no checkpoint under {run_dir}')
-    trainer.state = ckpt.restore(jax.device_get(trainer.state))
+    template = jax.device_get(trainer.state)
+    if average_last and average_last > 1:
+        from .checkpoint import average_checkpoints
+        trainer.state = average_checkpoints(ckpt, template, average_last)
+    else:
+        trainer.state = ckpt.restore(template)
     return cfg, trainer, model, frontend, labels
 
 

@@ -66,6 +66,9 @@ class Checkpointer:
     def latest_step(self):
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
     def restore(self, template, step: int | None = None):
         """Restore into the structure of ``template`` (a concrete pytree)."""
         step = self._mgr.latest_step() if step is None else step
@@ -75,6 +78,40 @@ class Checkpointer:
 
     def close(self):
         self._mgr.close()
+
+
+def average_checkpoints(ckpt: Checkpointer, template, last_k: int):
+    """Uniform average of the last ``last_k`` checkpoints' weights.
+
+    Classic ASR finishing move (absent from the reference, which keeps
+    only Lightning's per-epoch files): averaging the final few epochs'
+    weights smooths SGD noise and typically buys a few tenths of a WER
+    point for free at inference. Float-array leaves of ``params`` AND
+    ``batch_stats`` are averaged (running BN means/vars are affine
+    statistics — their uniform average is the natural combined estimate);
+    ``step``/``opt_state``/``rng`` are taken from the newest checkpoint.
+    Returns a state shaped like ``template``.
+    """
+    import jax
+    import numpy as np
+
+    steps = ckpt.all_steps()[-int(last_k):]
+    if not steps:
+        return None
+    states = [ckpt.restore(template, step=s) for s in steps]
+    newest = states[-1]
+
+    def mean(*leaves):
+        a = np.asarray(leaves[0])
+        if not np.issubdtype(a.dtype, np.floating):
+            return leaves[-1]
+        return np.mean(np.stack([np.asarray(x, np.float64) for x in leaves],
+                                0), 0).astype(a.dtype)
+
+    avg_params = jax.tree_util.tree_map(mean, *[s.params for s in states])
+    avg_stats = jax.tree_util.tree_map(mean,
+                                       *[s.batch_stats for s in states])
+    return newest.replace(params=avg_params, batch_stats=avg_stats)
 
 
 def save_params(path: str, pytree) -> None:
