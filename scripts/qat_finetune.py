@@ -35,19 +35,24 @@ def _eval_int8(layers, folded_q, frontend, ds, labels, act_scales,
 
     decoder = GreedyDecoder(labels)
 
+    # Weights as jit ARGUMENTS, not closure constants — baked-in weights
+    # exceed the remote-compile request limit (HTTP 413) on tunneled TPUs.
     @jax.jit
-    def fwd(audio, alens):
+    def fwd(fq, audio, alens):
         feats, flens = frontend(audio, alens)
         logp, out_lens = offline_forward_q8(
-            layers, folded_q, feats, flens, padding_mode=padding_mode,
+            layers, fq, feats, flens, padding_mode=padding_mode,
             act_scales=act_scales)
         return logp, out_lens
 
+    folded_q = jax.device_put([tuple(np.asarray(a) for a in wb)
+                               for wb in folded_q])
     loader = BucketBatchLoader(ds, batch_size, num_buckets=4, shuffle=False,
                                frame_hop=frontend.hop)
     acc = RatioAccumulator()
     for batch in loader:
-        logp, out_lens = fwd(batch['audio'], batch['audio_lengths'])
+        logp, out_lens = fwd(folded_q, batch['audio'],
+                             batch['audio_lengths'])
         decoded = decoder.decode(np.asarray(logp), sizes=np.asarray(out_lens))
         for j, text in enumerate(batch['texts']):
             if not batch['batch_mask'][j]:
@@ -70,6 +75,10 @@ def main(argv=None):
     parser.add_argument('--out', required=True, help='new artifact dir')
     parser.add_argument('--steps', type=int, default=300)
     parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--opt', default='lamb', choices=['lamb', 'adam'],
+                        help='lamb (trust-ratio; lr is per-step relative '
+                             'drift — the safe default for folded weights '
+                             'spanning orders of magnitude) or adam')
     parser.add_argument('--batch-size', type=int, default=16)
     parser.add_argument('--eval-manifest', default='',
                         help='report int8_full greedy WER before/after')
@@ -130,7 +139,7 @@ def main(argv=None):
     loader = BucketBatchLoader(ds, args.batch_size, num_buckets=4,
                                shuffle=True, frame_hop=frontend.hop)
 
-    report = {'steps': args.steps, 'lr': args.lr,
+    report = {'steps': args.steps, 'lr': args.lr, 'opt': args.opt,
               'batch_size': args.batch_size, 'f32_layers': list(
                   str(x) for x in f32_layers)}
     eval_ds = None
@@ -147,8 +156,8 @@ def main(argv=None):
         ctc_impl = ctc_loss_pallas
     new_folded, history = qat_finetune(
         layers, folded, frontend, loader, act_scales=act_scales,
-        steps=args.steps, learning_rate=args.lr, f32_layers=f32_layers,
-        padding_mode=padding_mode, ctc_impl=ctc_impl,
+        steps=args.steps, learning_rate=args.lr, optimizer=args.opt,
+        f32_layers=f32_layers, padding_mode=padding_mode, ctc_impl=ctc_impl,
         progress=lambda m: print(m, file=sys.stderr))
     report['history'] = history
 

@@ -131,7 +131,8 @@ def qat_forward(layers, params, feats, input_lengths=None,
 
 def qat_finetune(layers, folded, frontend, loader, *, act_scales=None,
                  steps: int = 300, learning_rate: float = 1e-4,
-                 f32_layers=(), padding_mode: str = 'reflect',
+                 optimizer: str = 'lamb', f32_layers=(),
+                 padding_mode: str = 'reflect',
                  log_every: int = 25, progress=None, ctc_impl=None):
     """Finetune a folded f32 stack against its int8 deployment graph.
 
@@ -148,6 +149,14 @@ def qat_finetune(layers, folded, frontend, loader, *, act_scales=None,
     bucket (weights are jit arguments — memory: closure constants bake
     600 MB into the HLO). ``ctc_impl``: alternative CTC loss (e.g.
     ops.ctc_pallas.ctc_loss_pallas on TPU, ~16x the scan's speed).
+
+    ``optimizer``: 'lamb' (default) or 'adam'. LAMB's trust ratio scales
+    each layer's update by its weight norm, so ``learning_rate`` is a
+    *relative* per-step drift — essential here because BN-folded conv
+    weights span orders of magnitude across layers (the fold divides by
+    running std), and Adam's scale-free absolute steps at any lr large
+    enough to move big layers destroy the small ones (measured: loss
+    0.005 -> 2.7 in 4 Adam steps at 1e-4; LAMB at 1e-4 is stable).
     """
     import jax
     import jax.numpy as jnp
@@ -161,7 +170,12 @@ def qat_finetune(layers, folded, frontend, loader, *, act_scales=None,
 
     params = [(jnp.asarray(w, jnp.float32), jnp.asarray(b, jnp.float32))
               for w, b in folded]
-    opt = optax.adam(learning_rate)
+    if optimizer == 'lamb':
+        opt = optax.lamb(learning_rate)
+    elif optimizer == 'adam':
+        opt = optax.adam(learning_rate)
+    else:
+        raise ValueError(f'unknown optimizer {optimizer!r}')
     opt_state = opt.init(params)
 
     def loss_fn(p, feats, flens, targets, tlens, mask):
