@@ -82,6 +82,8 @@ def main(argv=None):
     parser.add_argument('--batch-size', type=int, default=16)
     parser.add_argument('--eval-manifest', default='',
                         help='report int8_full greedy WER before/after')
+    parser.add_argument('--log-every', type=int, default=25,
+                        help='loss log/history interval in steps')
     parser.add_argument('--average-last', type=int, default=None,
                         help='start from the average of the newest K '
                              'checkpoints (checkpoint averaging)')
@@ -158,6 +160,7 @@ def main(argv=None):
         layers, folded, frontend, loader, act_scales=act_scales,
         steps=args.steps, learning_rate=args.lr, optimizer=args.opt,
         f32_layers=f32_layers, padding_mode=padding_mode, ctc_impl=ctc_impl,
+        log_every=args.log_every,
         progress=lambda m: print(m, file=sys.stderr))
     report['history'] = history
 

@@ -76,8 +76,11 @@ def test_qat_forward_matches_q8_dynamic(small):
                                atol=5e-3, rtol=1e-3)
 
 
-def test_qat_forward_f32_layers_match_plain(small):
-    """With every layer exempted, qat_forward is the plain folded forward."""
+def test_qat_forward_f32_layers_match_weight_only(small):
+    """With every layer activation-exempted, qat_forward equals the
+    weight-only int8 path (offline_forward over quantized weights) — the
+    same semantics as offline_forward_q8's f32_layers branch, which
+    dequantizes the int8 weights but keeps activations f32."""
     from wav2letter_pytorch_tpu.serving import offline_forward
     model, variables, frontend = small
     folded = fold_batchnorm(variables, len(SMALL_LAYERS))
@@ -85,8 +88,14 @@ def test_qat_forward_f32_layers_match_plain(small):
     exempt = tuple(range(len(SMALL_LAYERS))) + ('head',)
     logp_fq, _ = qat_forward(SMALL_LAYERS, folded, feats, flens,
                              f32_layers=exempt)
-    logp, _ = offline_forward(SMALL_LAYERS, folded, feats, flens)
+    logp, _ = offline_forward(SMALL_LAYERS, quantize_folded(folded),
+                              feats, flens)
     np.testing.assert_allclose(np.asarray(logp_fq), np.asarray(logp),
+                               atol=1e-5, rtol=1e-5)
+    # And against the q8 implementation's own f32 branch.
+    logp_q8, _ = offline_forward_q8(SMALL_LAYERS, quantize_folded(folded),
+                                    feats, flens, f32_layers=exempt)
+    np.testing.assert_allclose(np.asarray(logp_fq), np.asarray(logp_q8),
                                atol=1e-5, rtol=1e-5)
 
 

@@ -77,8 +77,11 @@ def qat_forward(layers, params, feats, input_lengths=None,
     the live per-channel rule; conv → +bias → clamp(0, 20) as in
     infer.offline_forward_q8:102-131. Padding is applied AFTER activation
     fake-quant, matching the int8 path (which pads the quantized tensor).
-    Layers listed in ``f32_layers`` (indices, or ``'head'``) skip
-    quantization entirely, mirroring the mixed-precision inference option.
+    Layers listed in ``f32_layers`` (indices, or ``'head'``) skip the
+    ACTIVATION quantization but keep the weight fake-quant, mirroring the
+    mixed-precision inference option exactly (infer.offline_forward_q8's
+    f32 branch dequantizes the int8 weights — and export quantizes every
+    layer's weights regardless of the exemption list).
 
     With ``act_scales=None`` the activation scale is dynamic per batch row
     (max|x|/127 over valid frames), matching the uncalibrated int8 path.
@@ -101,11 +104,11 @@ def qat_forward(layers, params, feats, input_lengths=None,
     pad_mode = 'reflect' if padding_mode == 'reflect' else 'constant'
     for i, ((k, s, d), (w, b)) in enumerate(
             zip(_layer_geometry(layers), params[:-1])):
+        wi = fake_quant_weight(w)
         if i in f32_layers:
-            xi, wi = x, jnp.asarray(w, jnp.float32)
+            xi = x
         else:
             xi = fake_quant_act(x, a_scale(x, i, cur_len))
-            wi = fake_quant_weight(w)
         left, right = same_pad_amount(x.shape[1], k, s, d)
         if left or right:
             xi = jnp.pad(xi, ((0, 0), (left, right), (0, 0)), mode=pad_mode)
@@ -117,11 +120,11 @@ def qat_forward(layers, params, feats, input_lengths=None,
         if cur_len is not None:
             cur_len = cur_len // s
     wh, bh = params[-1]
+    wi = fake_quant_weight(wh)
     if 'head' in f32_layers:
-        xi, wi = x, jnp.asarray(wh, jnp.float32)
+        xi = x
     else:
         xi = fake_quant_act(x, a_scale(x, len(params) - 1, cur_len))
-        wi = fake_quant_weight(wh)
     logits = jnp.einsum('btc,cl->btl', xi, wi[0]) + jnp.asarray(bh)
     logp = jax.nn.log_softmax(logits, axis=-1)
     out_lens = None if input_lengths is None \
