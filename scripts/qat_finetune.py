@@ -84,6 +84,12 @@ def main(argv=None):
                         help='report int8_full greedy WER before/after')
     parser.add_argument('--log-every', type=int, default=25,
                         help='loss log/history interval in steps')
+    parser.add_argument('--norm', default='per-utterance',
+                        choices=['per-utterance', 'cmvn'],
+                        help='feature normalization to finetune (and eval) '
+                             'against: per-utterance matches offline '
+                             'artifact eval; cmvn (the artifact stats) '
+                             'matches exact-parity streaming deployment')
     parser.add_argument('--average-last', type=int, default=None,
                         help='start from the average of the newest K '
                              'checkpoints (checkpoint averaging)')
@@ -130,11 +136,15 @@ def main(argv=None):
                        window_size=float(ac['window_size']),
                        window_stride=float(ac['window_stride']),
                        window=ac.get('window', 'hamming'))
-    # Deployment features: dither-free, per-utterance normalization (the
-    # offline-eval default; test.py run_artifact_offline_eval).
+    # Deployment features: dither-free; per-utterance normalization (the
+    # offline-eval default, test.py run_artifact_offline_eval) or the
+    # artifact CMVN stats (what exact-parity streaming consumes).
+    if args.norm == 'cmvn' and norm_stats is None:
+        raise SystemExit('--norm cmvn: artifact has no CMVN stats')
     frontend = SpectrogramFrontend(
         conf, n_mels=int(meta['n_mels']), dither=0.0,
-        feature_type=meta.get('feature_type', 'logmel'))
+        feature_type=meta.get('feature_type', 'logmel'),
+        norm_stats=norm_stats if args.norm == 'cmvn' else None)
     padding_mode = meta.get('padding_mode', 'reflect')
 
     ds = ManifestDataset(args.train_manifest, ac, labels)
@@ -142,6 +152,7 @@ def main(argv=None):
                                shuffle=True, frame_hop=frontend.hop)
 
     report = {'steps': args.steps, 'lr': args.lr, 'opt': args.opt,
+              'norm': args.norm,
               'batch_size': args.batch_size, 'f32_layers': list(
                   str(x) for x in f32_layers)}
     eval_ds = None
