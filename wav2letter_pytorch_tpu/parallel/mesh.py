@@ -1,14 +1,16 @@
-"""Device mesh + sharding helpers for data-parallel training.
+"""Device mesh + sharding helpers for distributed training.
 
 TPU-native replacement for the reference's implicit Lightning-DDP/NCCL
 story (SURVEY.md §2.3: the reference has no first-party parallelism; DDP is
 reachable only through ``Trainer`` flags). Here data parallelism is explicit
-SPMD: a 1-D ``jax.sharding.Mesh`` over the ``data`` axis, batches sharded
-along it, parameters/optimizer state replicated. The gradient all-reduce is
+SPMD: a ``jax.sharding.Mesh`` with a ``data`` axis, batches sharded along
+it, parameters/optimizer state replicated. The gradient all-reduce is
 inserted by the XLA SPMD partitioner and rides ICI — and because the
 computation is written against the *global* batch, BatchNorm statistics are
 cross-replica exact (sync-BN), matching single-device reference semantics
-at any device count.
+at any device count. With ``model > 1`` the mesh grows a second
+tensor-parallel axis; see ``parallel/tp.py`` for the channel-sharding
+rules layered on top.
 """
 
 from __future__ import annotations
@@ -18,15 +20,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: int | None = None, axis: str = 'data') -> Mesh:
-    """1-D device mesh. ``num_devices=None``/-1 uses all visible devices."""
+def make_mesh(num_devices: int | None = None, axis: str = 'data',
+              model: int = 1) -> Mesh:
+    """Device mesh: 1-D over ``axis`` or, with ``model > 1``, a 2-D
+    ``(data, model)`` mesh for tensor parallelism (see ``parallel/tp.py``).
+
+    ``num_devices`` is the DATA-axis extent; ``None``/-1 uses all visible
+    devices (divided by ``model`` on a 2-D mesh). Adjacent device ids land
+    on the ``model`` axis so TP collectives ride the shortest ICI hops.
+    """
     devices = jax.devices()
+    model = int(model or 1)
+    if model <= 1:
+        if num_devices in (None, -1):
+            num_devices = len(devices)
+        if num_devices > len(devices):
+            raise ValueError(
+                f'Requested {num_devices} devices, only {len(devices)} '
+                'visible')
+        return Mesh(np.array(devices[:num_devices]), (axis,))
     if num_devices in (None, -1):
-        num_devices = len(devices)
-    if num_devices > len(devices):
+        num_devices = len(devices) // model
+    total = num_devices * model
+    if num_devices < 1 or total > len(devices):
         raise ValueError(
-            f'Requested {num_devices} devices, only {len(devices)} visible')
-    return Mesh(np.array(devices[:num_devices]), (axis,))
+            f'Requested {num_devices}x{model} (data x model) devices, only '
+            f'{len(devices)} visible')
+    return Mesh(np.array(devices[:total]).reshape(num_devices, model),
+                (axis, 'model'))
 
 
 def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:

@@ -44,7 +44,8 @@ from flax import struct
 from ..decoding import GreedyDecoder
 from ..models import Jasper
 from ..ops.ctc import ctc_loss
-from ..parallel import make_mesh, replicated_sharding, shard_batch
+from ..parallel import (make_mesh, replicated_sharding, shard_batch,
+                        state_shardings)
 from .logging import MetricLogger
 from .metrics import RatioAccumulator, string_metrics
 
@@ -101,7 +102,11 @@ class Trainer:
             cfg['model'].get('print_decoded_prob', 0) or 0)
         self.run_dir = run_dir or tcfg.get('default_root_dir', '.')
         mesh_cfg = tcfg.get('mesh', {}) or {}
-        self.mesh = make_mesh(int(mesh_cfg.get('data', -1)))
+        # mesh.model > 1 adds a tensor-parallel axis: conv weights (and the
+        # optimizer state mirroring them) shard their channel dim across it
+        # (parallel/tp.py); the train step itself is topology-agnostic.
+        self.mesh = make_mesh(int(mesh_cfg.get('data', -1)),
+                              model=int(mesh_cfg.get('model', 1) or 1))
         self.logger = MetricLogger(self.run_dir)
         self._ckpt = None
         ck = tcfg.get('checkpoint', {}) or {}
@@ -148,8 +153,10 @@ class Trainer:
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats, opt_state=opt_state,
                            rng=rng)
-        repl = replicated_sharding(self.mesh)
-        self.state = jax.device_put(state, repl)
+        # Channel-sharded over the 'model' axis when present; all-replicated
+        # (the old behavior, bit-for-bit) on a pure data mesh.
+        self._state_sh = state_shardings(state, self.mesh)
+        self.state = jax.device_put(state, self._state_sh)
         from ..utils import model_summary
         print(f'{type(self.model).__name__} parameters:')
         print(model_summary(params))
@@ -217,14 +224,17 @@ class Trainer:
     def _get_jitted(self, name):
         if name not in self._jitted:
             repl = replicated_sharding(self.mesh)
+            # New state keeps the (possibly model-sharded) layout of the
+            # donated input state; loss/logits/lengths are replicated.
+            state_sh = getattr(self, '_state_sh', repl)
             if name == 'train':
                 self._jitted[name] = jax.jit(
                     self._train_step, donate_argnums=(0,),
-                    out_shardings=(repl, repl, repl, repl))
+                    out_shardings=(state_sh, repl, repl, repl))
             elif name == 'train_multi':
                 self._jitted[name] = jax.jit(
                     self._multi_step, donate_argnums=(0,),
-                    out_shardings=(repl, repl, repl, repl))
+                    out_shardings=(state_sh, repl, repl, repl))
             else:
                 self._jitted[name] = jax.jit(self._eval_step)
         return self._jitted[name]
