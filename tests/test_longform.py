@@ -1,0 +1,147 @@
+"""Exact long-form chunked inference (serving/longform.py).
+
+The contract is strong: overlap-chunked windows, cropped to their cores and
+concatenated, must reproduce the ONE-SHOT offline stack — including the
+centered-SAME-padding parity effects that make interior outputs depend on
+total length mod stride. Tests sweep odd/even lengths, the dilated
+flagship geometry, int8 with static scales, the single-shot fallback, and
+mesh-sharded windows.
+"""
+
+import numpy as np
+import pytest
+
+from wav2letter_pytorch_tpu.serving import (LongFormTranscriber,
+                                            calibrate_activation_scales,
+                                            fold_batchnorm, longform_logprobs,
+                                            offline_forward,
+                                            offline_forward_q8,
+                                            quantize_folded)
+from wav2letter_pytorch_tpu.serving.longform import (plan_windows,
+                                                     stack_geometry)
+from tests.test_streaming import FLAGSHIP_STRUCTURE, SMALL_LAYERS, _build
+
+
+@pytest.fixture(scope='module')
+def small():
+    return _build(SMALL_LAYERS)
+
+
+def _audio(n, seed=3):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+
+def _global_logp(layers, folded, frontend, audio):
+    feats, flens = frontend(audio[None, :], np.array([len(audio)], np.int32))
+    t = int(np.asarray(flens)[0])
+    logp, _ = offline_forward(layers, folded, np.asarray(feats)[:, :t])
+    return np.asarray(logp)[0]
+
+
+def test_plan_windows_invariants():
+    layers = SMALL_LAYERS
+    S, P, Q = stack_geometry(layers)
+    assert S == 2 and P > 0 and Q > 0
+    for t in (731, 732, 733, 1024):
+        w, out_w, starts, keeps = plan_windows(t, layers, chunk_frames=40)
+        if w is None:
+            continue
+        assert w % 1 == 0 and (t - w) % S == 0     # parity-matched length
+        t_out = keeps[-1][2] + (keeps[-1][1] - keeps[-1][0])
+        covered = 0
+        for a, (j0, j1, g0) in zip(starts, keeps):
+            assert a % S == 0 and 0 <= a <= t - w   # on-grid, in-bounds
+            assert 0 <= j0 < j1 <= out_w
+            assert g0 == covered                    # cores tile contiguously
+            covered += j1 - j0
+        assert covered == t_out
+
+
+@pytest.mark.parametrize('n_samples', [59957, 60000, 60161])
+def test_longform_exact_f32(small, n_samples):
+    """Odd/even sample counts exercise both SAME-pad parity branches."""
+    _, variables, frontend = small
+    folded = fold_batchnorm(variables, len(SMALL_LAYERS))
+    audio = _audio(n_samples)
+    ref = _global_logp(SMALL_LAYERS, folded, frontend, audio)
+    logp, valid = longform_logprobs(SMALL_LAYERS, folded, frontend, audio,
+                                    chunk_frames=40, max_batch=3)
+    assert logp.shape == ref.shape
+    np.testing.assert_allclose(logp, ref, atol=2e-5, rtol=0)
+    assert (logp.argmax(-1) == ref.argmax(-1)).all()
+    assert valid <= logp.shape[0]
+
+
+def test_longform_exact_flagship_structure():
+    """Real flagship geometry (stride-2 entry + dilated tail) at toy width."""
+    _, variables, frontend = _build(FLAGSHIP_STRUCTURE)
+    folded = fold_batchnorm(variables, len(FLAGSHIP_STRUCTURE))
+    audio = _audio(160157, seed=11)
+    ref = _global_logp(FLAGSHIP_STRUCTURE, folded, frontend, audio)
+    logp, _ = longform_logprobs(FLAGSHIP_STRUCTURE, folded, frontend, audio,
+                                chunk_frames=120, max_batch=4)
+    np.testing.assert_allclose(logp, ref, atol=2e-5, rtol=0)
+    assert (logp.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_longform_single_shot_fallback(small):
+    _, variables, frontend = small
+    folded = fold_batchnorm(variables, len(SMALL_LAYERS))
+    audio = _audio(8000)
+    ref = _global_logp(SMALL_LAYERS, folded, frontend, audio)
+    logp, _ = longform_logprobs(SMALL_LAYERS, folded, frontend, audio,
+                                chunk_frames=10_000)
+    np.testing.assert_allclose(logp, ref, atol=1e-6, rtol=0)
+
+
+def test_longform_int8_static_scales(small):
+    _, variables, frontend = small
+    folded = fold_batchnorm(variables, len(SMALL_LAYERS))
+    rng = np.random.default_rng(7)
+    cal = (rng.standard_normal((2, 24000)) * 0.1).astype(np.float32)
+    scales = calibrate_activation_scales(
+        SMALL_LAYERS, folded, frontend, cal, np.array([24000, 20000]))
+    q = quantize_folded(folded)
+    audio = _audio(60000, seed=5)
+    feats, flens = frontend(audio[None, :], np.array([len(audio)], np.int32))
+    t = int(np.asarray(flens)[0])
+    ref, _ = offline_forward_q8(SMALL_LAYERS, q, np.asarray(feats)[:, :t],
+                                act_scales=scales)
+    ref = np.asarray(ref)[0]
+    logp, _ = longform_logprobs(SMALL_LAYERS, q, frontend, audio,
+                                mode='int8_full', act_scales=scales,
+                                chunk_frames=40, max_batch=4)
+    np.testing.assert_allclose(logp, ref, atol=2e-5, rtol=0)
+    assert (logp.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_longform_transcriber_matches_offline_decode(small):
+    from wav2letter_pytorch_tpu.data.label_sets import english_labels
+    from wav2letter_pytorch_tpu.decoding import GreedyDecoder
+
+    _, variables, frontend = small
+    folded = fold_batchnorm(variables, len(SMALL_LAYERS))
+    labels = english_labels[:7]
+    decoder = GreedyDecoder(labels)
+    audio = _audio(60000, seed=9)
+    ref = _global_logp(SMALL_LAYERS, folded, frontend, audio)
+    valid = ref.shape[0]
+    ref_text = decoder.decode(ref[None], sizes=np.array([valid]))[0]
+
+    lf = LongFormTranscriber(SMALL_LAYERS, folded, frontend, decoder,
+                             chunk_frames=40, max_batch=3)
+    assert lf.transcribe(audio) == ref_text
+
+
+def test_longform_mesh_sharded(small):
+    from wav2letter_pytorch_tpu.parallel import make_mesh
+
+    _, variables, frontend = small
+    folded = fold_batchnorm(variables, len(SMALL_LAYERS))
+    audio = _audio(60161, seed=13)
+    ref = _global_logp(SMALL_LAYERS, folded, frontend, audio)
+    logp, _ = longform_logprobs(SMALL_LAYERS, folded, frontend, audio,
+                                chunk_frames=40, max_batch=4,
+                                mesh=make_mesh(4))
+    np.testing.assert_allclose(logp, ref, atol=2e-5, rtol=0)

@@ -17,6 +17,9 @@ inference stack:
 * ``export`` — self-contained serving artifacts (weights + CMVN +
   calibration) for both families;
 * ``parallel_infer`` — mesh-sharded batched inference (``MeshInference``);
+* ``longform`` — exact overlap-chunked inference for hour-scale audio
+  (``LongFormTranscriber``): bounded memory, mesh-parallel windows,
+  bit-parity with the one-shot offline stack;
 * ``server`` — dynamic multi-stream batching (``StreamMultiplexer``);
 * ``net`` — the TCP transport over the multiplexer (``StreamingServer``
   + ``StreamClient``): framed live-audio protocol, jitter-tolerant
@@ -28,6 +31,7 @@ See docs/SERVING.md for the end-to-end guide and measured numbers.
 from .export import (compute_cmvn, export_serving, export_serving_jasper,
                      load_serving)
 from .infer import offline_forward, offline_forward_q8
+from .longform import LongFormTranscriber, longform_logprobs
 from .parallel_infer import MeshInference
 from .server import StreamMultiplexer
 from .net import StreamClient, StreamingServer
@@ -45,6 +49,7 @@ __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
            'offline_forward', 'offline_forward_q8', 'quantize_folded',
            'quantized_bytes', 'export_serving', 'export_serving_jasper',
            'load_serving',
-           'compute_cmvn', 'MeshInference', 'calibrate_activation_scales',
+           'compute_cmvn', 'MeshInference', 'LongFormTranscriber',
+           'longform_logprobs', 'calibrate_activation_scales',
            'StreamMultiplexer', 'StreamingServer', 'StreamClient',
            'qat_finetune', 'qat_forward']
