@@ -353,3 +353,52 @@ def test_steps_per_dispatch_with_buckets(tmp_path):
     # 8 utts over 3 buckets -> 5 batches/epoch (per-bucket remainders
     # pad to full batch_size), 2 epochs -> 10 steps.
     assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 10
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-training saves a resumable checkpoint at the next step
+    boundary and fit() returns cleanly; --resume re-enters the interrupted
+    epoch, skips the already-applied batches, and completes the original
+    budget with every batch applied exactly once."""
+    import os
+    import signal
+    import threading
+
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    import train as train_cli
+
+    manifest = _make_corpus(tmp_path, n=6, seed=6)
+    run_dir = tmp_path / 'preempt_run'
+    base = [
+        f'data.train_manifest={manifest}', f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model.input_size=32',
+        'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: 0.1}]',
+        'trainer.string_metrics_interval=0', 'trainer.mesh.data=2',
+        'trainer.max_epochs=40', 'trainer.checkpoint.every_n_epochs=40',
+        f'trainer.default_root_dir={run_dir}',
+    ]
+    # Fire SIGTERM shortly after training starts compiling/stepping; the
+    # handler runs on the main thread at the next bytecode boundary.
+    timer = threading.Timer(6.0, os.kill, (os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        assert train_cli.main(base) == 0
+    finally:
+        timer.cancel()
+    ck = Checkpointer(f'{run_dir}/checkpoints')
+    step = ck.latest_step()
+    assert step is not None and step < 40 * 3   # stopped early, state saved
+    extra = ck.load_extra()
+    assert extra.get('preempted') is True
+    assert 'epoch' in extra and extra['epoch'] < 40
+    ck.close()
+
+    # The handler must have been a one-shot graceful stop, not a latch:
+    # resuming completes the remaining epochs without re-triggering.
+    assert train_cli.main(base + ['--resume']) == 0
+    ck = Checkpointer(f'{run_dir}/checkpoints')
+    assert ck.latest_step() == 40 * 3          # 3 steps/epoch x 40 epochs
+    assert ck.load_extra().get('preempted') is None
+    ck.close()

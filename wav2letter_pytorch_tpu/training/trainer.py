@@ -265,6 +265,7 @@ class Trainer:
                 raise ValueError('empty training loader')
             self.init_state(first)
         start_epoch = 0
+        resume_skip = 0
         if resume and self._ckpt.latest_step() is not None:
             self.state = self._ckpt.restore(self.state)
             print(f'Resumed from step {int(self.state.step)}')
@@ -275,6 +276,13 @@ class Trainer:
             extra = self._ckpt.load_extra()
             if 'epoch' in extra:
                 start_epoch = int(extra['epoch'])
+                if extra.get('preempted'):
+                    # Mid-epoch checkpoint: replay the interrupted epoch's
+                    # shuffle but fast-forward past the batches whose
+                    # updates are already in the restored optimizer state,
+                    # so every batch is applied exactly once across the
+                    # preemption.
+                    resume_skip = int(extra.get('epoch_step', 0))
             else:
                 # Pre-metadata checkpoint: fall back to deriving the epoch
                 # from the restored step and the CURRENT loader length.
@@ -288,6 +296,25 @@ class Trainer:
                 train_loader.epoch = start_epoch
 
         step = int(self.state.step)
+        # Preemption safety: TPU pools reclaim VMs with a SIGTERM + grace
+        # window. Install a handler that requests a graceful stop; the
+        # dispatch loop below saves a resumable checkpoint and returns
+        # instead of dying mid-epoch. (The reference relies on Lightning's
+        # per-epoch checkpoint only — a preempted epoch loses its work.)
+        import signal
+        self._preempt_requested = False
+        sig_name = self.cfg['trainer'].get('preempt_signal', 'SIGTERM')
+        prev_handler = None
+        sig = getattr(signal, str(sig_name), None) if sig_name else None
+        if sig is not None:
+            def _on_preempt(signum, frame):
+                self._preempt_requested = True
+                print(f'{sig_name} received: checkpointing at the next '
+                      'step boundary', flush=True)
+            try:
+                prev_handler = signal.signal(sig, _on_preempt)
+            except ValueError:       # not the main thread (e.g. tests)
+                sig = None
         # Throughput bookkeeping starts after the first executed step so
         # `utterances_per_sec` reflects steady state, not XLA compile time
         # (bench.py methodology).
@@ -371,8 +398,18 @@ class Trainer:
                         print_decoded_prob=self.print_decoded_prob))
 
         for epoch in range(start_epoch, self.max_epochs):
+            epoch_start_step = step - (resume_skip if epoch == start_epoch
+                                       else 0)
+            skip = resume_skip if epoch == start_epoch else 0
             for batches, device_batch, is_multi in _with_device_batches(
                     train_loader):
+                if skip > 0:
+                    # Replaying a preempted epoch: the dispatch grouping is
+                    # deterministic for a given (seeded) shuffle order, so
+                    # discarding whole groups up to the checkpointed
+                    # epoch_step realigns exactly with the original run.
+                    skip -= len(batches)
+                    continue
                 if self.max_steps is not None and step >= int(self.max_steps):
                     # (a multi-step dispatch may overshoot max_steps by up
                     # to steps_per_dispatch - 1; the check is per dispatch)
@@ -416,7 +453,24 @@ class Trainer:
                     pending_metrics.append((sel, out, out_lens))
                     if len(pending_metrics) >= metrics_flush:
                         _flush_metrics()
+                if self._preempt_requested:
+                    break
             _flush_metrics()
+            if self._preempt_requested:
+                # Mid-epoch save: resume re-enters this epoch's shuffle
+                # (extra['epoch'] = epoch) and skips the epoch_step batches
+                # already applied, preserving exact epoch-schedule
+                # semantics with no double-applied updates. (Skip if this
+                # exact step was already checkpointed.)
+                if step not in self._ckpt.all_steps():
+                    self._ckpt.save(step, jax.device_get(self.state),
+                                    extra={'epoch': epoch,
+                                           'epoch_step':
+                                               step - epoch_start_step,
+                                           'preempted': True})
+                print(f'preempted: checkpoint saved at step {step}; '
+                      f'epoch {epoch} replays on --resume', flush=True)
+                break
             val = None
             if val_loader is not None and (epoch + 1) % self.val_every == 0:
                 val = self.validate(val_loader)
@@ -428,6 +482,8 @@ class Trainer:
                                 metrics=val, extra={'epoch': epoch + 1})
             if self.max_steps is not None and step >= int(self.max_steps):
                 break
+        if sig is not None and prev_handler is not None:
+            signal.signal(sig, prev_handler)
         profile_scope.__exit__(None, None, None)
         return self.state
 
