@@ -106,34 +106,14 @@ def _out_frames(t: int, layers) -> int:
     return t
 
 
-def longform_logprobs(layers, folded, frontend, audio,
-                      mode: str = 'f32', padding_mode: str = 'reflect',
-                      act_scales=None, f32_layers=(),
-                      chunk_frames: int = 2000, max_batch: int = 8,
-                      mesh=None):
-    """Log-probs for ONE long utterance, exact vs the one-shot offline run.
-
-    ``audio``: 1-D float samples. ``chunk_frames``: core output frames per
-    window (memory knob; dependency halos are added automatically from the
-    stack's receptive field). ``max_batch``: windows per dispatch.
-    ``mesh``: optional device mesh — windows shard across its ``data``
-    axis, turning the time axis into mesh parallelism.
-
-    Returns ``(log_probs [T_out, L], valid_frames)`` as numpy; ``L`` log-
-    softmax over labels, ``valid_frames = len(audio_frames) // S`` (the
-    stack's floor-convention valid length, matching ``offline_forward``).
-    """
+def make_window_forward(layers, folded, mode: str = 'f32',
+                        padding_mode: str = 'reflect', act_scales=None,
+                        f32_layers=()):
+    """Jitted ``(weights, feats[B,T,F]) -> log_probs[B,T',L]`` for the
+    window batches, built ONCE per transcriber/job. ``jax.jit`` caches by
+    function identity, so rebuilding this closure per call would recompile
+    the whole stack every time (~40 s through the device tunnel)."""
     import jax
-    import jax.numpy as jnp
-
-    audio = np.asarray(audio, np.float32).reshape(-1)
-    # Frontend once over the whole utterance: per-utterance normalization
-    # (and every other global statistic) is computed exactly.
-    feats, flens = jax.jit(frontend)(audio[None, :],
-                                     np.array([audio.shape[0]], np.int32))
-    feats = np.asarray(feats[0])
-    t_frames = int(np.asarray(flens)[0])
-    feats = feats[:t_frames]
 
     if mode == 'int8_full':
         if len(folded[0]) != 3:
@@ -150,12 +130,53 @@ def longform_logprobs(layers, folded, frontend, audio,
                                    padding_mode=padding_mode)[0]
     else:
         raise ValueError(f'unknown mode: {mode!r}')
+    return jax.jit(fwd)
+
+
+def longform_logprobs(layers, folded, frontend, audio,
+                      mode: str = 'f32', padding_mode: str = 'reflect',
+                      act_scales=None, f32_layers=(),
+                      chunk_frames: int = 2000, max_batch: int = 8,
+                      mesh=None, jfwd=None, jfrontend=None, weights=None):
+    """Log-probs for ONE long utterance, exact vs the one-shot offline run.
+
+    ``audio``: 1-D float samples. ``chunk_frames``: core output frames per
+    window (memory knob; dependency halos are added automatically from the
+    stack's receptive field). ``max_batch``: windows per dispatch.
+    ``mesh``: optional device mesh — windows shard across its ``data``
+    axis, turning the time axis into mesh parallelism.
+
+    ``jfwd``/``jfrontend``/``weights``: prebuilt jitted programs and
+    device-resident weights (see ``LongFormTranscriber``); pass them when
+    calling repeatedly so compiled programs are reused across calls.
+
+    Returns ``(log_probs [T_out, L], valid_frames)`` as numpy; ``L`` log-
+    softmax over labels, ``valid_frames = len(audio_frames) // S`` (the
+    stack's floor-convention valid length, matching ``offline_forward``).
+    """
+    import jax
+
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    # Frontend once over the whole utterance: per-utterance normalization
+    # (and every other global statistic) is computed exactly.
+    if jfrontend is None:
+        jfrontend = jax.jit(frontend)
+    feats, flens = jfrontend(audio[None, :],
+                             np.array([audio.shape[0]], np.int32))
+    feats = np.asarray(feats[0])
+    t_frames = int(np.asarray(flens)[0])
+    feats = feats[:t_frames]
 
     S, _, _ = stack_geometry(layers)
     w_len, out_w, starts, keeps = plan_windows(t_frames, layers,
                                                chunk_frames)
-    jfwd = jax.jit(fwd)
-    weights = jax.device_put([tuple(a for a in wb) for wb in folded])
+    if jfwd is None:
+        jfwd = make_window_forward(layers, folded, mode=mode,
+                                   padding_mode=padding_mode,
+                                   act_scales=act_scales,
+                                   f32_layers=f32_layers)
+    if weights is None:
+        weights = jax.device_put([tuple(a for a in wb) for wb in folded])
     if w_len is None:                      # short utterance: one shot
         logp = np.asarray(jfwd(weights, feats[None, :, :])[0])
         return logp, t_frames // S
@@ -171,15 +192,22 @@ def longform_logprobs(layers, folded, frontend, audio,
     else:
         put = lambda x: x                                        # noqa: E731
 
-    t_out = _out_frames(t_frames, layers)
-    num_labels = None
-    out = None
+    # Dispatch every group before fetching any result: XLA executions are
+    # async, so the host->device transfer and compute of group i+1 overlap
+    # fetching group i instead of serializing on each np.asarray.
+    dispatched = []
     for lo in range(0, len(windows), max_batch):
         group = windows[lo:lo + max_batch]
         if len(group) < max_batch:        # pad to the compiled batch shape
             pad = np.repeat(group[-1:], max_batch - len(group), axis=0)
             group = np.concatenate([group, pad])
-        logp = np.asarray(jfwd(weights, put(group)))
+        dispatched.append(jfwd(weights, put(group)))
+
+    t_out = _out_frames(t_frames, layers)
+    num_labels = None
+    out = None
+    for lo, dev in zip(range(0, len(windows), max_batch), dispatched):
+        logp = np.asarray(dev)
         if out is None:
             num_labels = logp.shape[-1]
             out = np.empty((t_out, num_labels), logp.dtype)
@@ -195,16 +223,31 @@ class LongFormTranscriber:
     def __init__(self, layers, folded, frontend, decoder, mode='f32',
                  padding_mode='reflect', act_scales=None, f32_layers=(),
                  chunk_frames: int = 2000, max_batch: int = 8, mesh=None):
+        import jax
+
         self._kw = dict(mode=mode, padding_mode=padding_mode,
                         act_scales=act_scales, f32_layers=f32_layers,
                         chunk_frames=chunk_frames, max_batch=max_batch,
                         mesh=mesh)
         self.layers, self.folded, self.frontend = layers, folded, frontend
         self.decoder = decoder
+        # Built once: repeated transcribe()/logprobs() calls reuse the
+        # compiled window program and the device-resident weights (the
+        # window batch shape is fixed by chunk_frames, so only the tiny
+        # frontend recompiles when the audio length changes).
+        self._jfwd = make_window_forward(layers, folded, mode=mode,
+                                         padding_mode=padding_mode,
+                                         act_scales=act_scales,
+                                         f32_layers=f32_layers)
+        self._jfe = jax.jit(frontend)
+        self._weights = jax.device_put(
+            [tuple(a for a in wb) for wb in folded])
 
     def logprobs(self, audio):
         return longform_logprobs(self.layers, self.folded, self.frontend,
-                                 audio, **self._kw)
+                                 audio, jfwd=self._jfwd,
+                                 jfrontend=self._jfe,
+                                 weights=self._weights, **self._kw)
 
     def transcribe(self, audio) -> str:
         logp, valid = self.logprobs(audio)
