@@ -41,7 +41,7 @@ backpointers, walked backwards on host to materialize the top string.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -204,6 +204,21 @@ def _make_step(k, blank, beta, log_prune, sep_mask, word_mask,
     return step, P
 
 
+@lru_cache(maxsize=32)
+def _jitted_lm_step(k, blank, beta, log_prune, sep_mask, word_mask,
+                    space_ix):
+    """Compiled batched LM-fused DP step, cached across calls by its
+    static configuration (all-hashable args)."""
+    step, P = _make_step(k, blank, beta, log_prune, sep_mask, word_mask,
+                         space_ix, use_lm=True)
+    return jax.jit(jax.vmap(step), donate_argnums=(0,)), P
+
+
+@lru_cache(maxsize=32)
+def _jitted_final_rank(beta, k):
+    return jax.jit(jax.vmap(partial(_final_rank, beta=beta, k=k)))
+
+
 def _final_rank(carry, beta, k):
     pb, pnb, _, _, wc, _, alive, _ = carry
     score = jnp.logaddexp(pb, pnb)
@@ -309,9 +324,11 @@ def beam_search_device_lm(log_probs, lengths, labels, lm, k: int = 5,
     sep_mask, word_mask = _masks(labels)
     space_ix = labels.index(' ') if ' ' in labels else -1
     k = int(k)
-    step, P = _make_step(k, int(blank_index), float(beta), _log(prune),
-                         sep_mask, word_mask, space_ix, use_lm=True)
-    step_b = jax.jit(jax.vmap(step), donate_argnums=(0,))
+    # Memoized: a fresh jax.jit(closure) here would recompile the step
+    # program on every call (jit caches by function identity), turning
+    # repeated-batch eval into one full compile per batch.
+    step_b, P = _jitted_lm_step(k, int(blank_index), float(beta),
+                                _log(prune), sep_mask, word_mask, space_ix)
 
     lp = jnp.asarray(log_probs, jnp.float32)
     lengths = jnp.asarray(lengths, jnp.int32)
@@ -361,8 +378,7 @@ def beam_search_device_lm(log_probs, lengths, labels, lm, k: int = 5,
                 else:
                     add[s] = 0.0
 
-    top_idx, _, _ = jax.jit(
-        jax.vmap(partial(_final_rank, beta=float(beta), k=k)))(carry)
+    top_idx, _, _ = _jitted_final_rank(float(beta), k)(carry)
     top_idx = np.asarray(top_idx)
     return [strings[b][int(top_idx[b, 0])] for b in range(B)]
 
