@@ -30,6 +30,11 @@ def main():
     parser.add_argument('--manifest', required=True)
     parser.add_argument('--devices-per-process', type=int, default=4)
     parser.add_argument('--batch-per-process', type=int, required=True)
+    parser.add_argument('--fit-preempt', default='',
+                        help='run trainer.fit with a shared run dir; '
+                             'process 0 self-SIGTERMs mid-fit — the agreed '
+                             'stop must checkpoint BOTH hosts at the same '
+                             'step (value = shared run dir)')
     args = parser.parse_args()
 
     os.environ['XLA_FLAGS'] = (
@@ -55,14 +60,22 @@ def main():
                                                  build_frontend, build_labels,
                                                  build_model)
 
-    cfg = load_config([
+    overrides = [
         'data.train_manifest=x', 'data.val_manifest=y',
         'model.input_size=32',
         'model.layers=[{output_size: 32, kernel_size: 7, stride: 2, '
         'dilation: 1, dropout: -1.0}]',
         'trainer.string_metrics_interval=0',
         f'trainer.mesh.data={n_global}',
-    ])
+    ]
+    if args.fit_preempt:
+        overrides += [
+            'trainer.max_epochs=5000',          # never finishes un-preempted
+            'trainer.checkpoint.every_n_epochs=100000',
+            'trainer.preempt_sync_every=1',     # agree at every dispatch
+            f'trainer.default_root_dir={args.fit_preempt}',
+        ]
+    cfg = load_config(overrides)
     labels = build_labels(cfg.model)
     ds = ManifestDataset(args.manifest, cfg.data.audio_conf, labels)
     loader = BucketBatchLoader(ds, args.batch_per_process, num_buckets=1,
@@ -72,12 +85,40 @@ def main():
     batch = loader.peek_batch()
 
     model = build_model(cfg.model, len(labels))
+    run_dir = args.fit_preempt or f'/tmp/w2l_mh_{args.process_id}'
     trainer = Trainer(cfg, model, build_frontend(cfg.model, dither=0.0),
                       optim.sgd(optim.constant_lr(1e-3), momentum=0.9),
                       optim.constant_lr(1e-3),
                       build_decoder(cfg.model, labels),
-                      run_dir=f'/tmp/w2l_mh_{args.process_id}')
+                      run_dir=run_dir)
     trainer.init_state(batch)
+    if args.fit_preempt:
+        # Only process 0 receives the signal; the allgather agreement must
+        # stop BOTH processes at the same step boundary (a lone host
+        # breaking out would hang the other's collectives forever).
+        # Signals that land before fit() installs its handler would kill
+        # the process (startup time varies under load), so install a
+        # benign pre-handler and re-fire every few seconds until the
+        # graceful stop takes.
+        import signal
+        import threading
+        import time
+        signal.signal(signal.SIGTERM, lambda *a: None)
+        done = threading.Event()
+        if args.process_id == 0:
+            def _pummel():
+                while not done.wait(5.0):
+                    os.kill(os.getpid(), signal.SIGTERM)
+            threading.Thread(target=_pummel, daemon=True).start()
+        trainer.fit(loader)
+        done.set()
+        from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+        ck = Checkpointer(f'{run_dir}/checkpoints')
+        step = ck.latest_step()
+        extra = ck.load_extra()
+        print(f'WORKER_PREEMPT_STEP {step} preempted='
+              f'{extra.get("preempted")}', flush=True)
+        return
     device_batch = shard_batch(
         {k: v for k, v in batch.items() if not isinstance(v, list)},
         trainer.mesh)

@@ -51,7 +51,7 @@ def corpus(tmp_path_factory):
 
 
 def _spawn(manifest, num_processes, process_id, port, batch_per_process,
-           devices_per_process):
+           devices_per_process, extra_args=()):
     import os
     env = dict(os.environ)
     env.pop('JAX_PLATFORMS', None)
@@ -64,7 +64,8 @@ def _spawn(manifest, num_processes, process_id, port, batch_per_process,
          '--process-id', str(process_id),
          '--manifest', manifest,
          '--batch-per-process', str(batch_per_process),
-         '--devices-per-process', str(devices_per_process)],
+         '--devices-per-process', str(devices_per_process),
+         *extra_args],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
 
@@ -95,3 +96,27 @@ def test_two_process_matches_single_process(corpus):
     # order differs between the two assemblies, but CTC-mean and batch-wide
     # BN stats are permutation-invariant).
     assert loss0 == pytest.approx(loss_single, rel=1e-5)
+
+
+def test_preemption_agreed_across_hosts(corpus, tmp_path):
+    """SIGTERM delivered to ONE host of a 2-process run: the allgathered
+    stop decision must halt both processes at the same step boundary with
+    one shared checkpoint — a lone host breaking its dispatch loop would
+    deadlock the other's collectives."""
+    import os
+    run_dir = str(tmp_path / 'mh_preempt')
+    os.makedirs(run_dir, exist_ok=True)
+    port = _free_port()
+    extra = ['--fit-preempt', run_dir]
+    p0 = _spawn(corpus, 2, 0, port, 4, 4, extra_args=extra)
+    p1 = _spawn(corpus, 2, 1, port, 4, 4, extra_args=extra)
+    out0, err0 = p0.communicate(timeout=540)
+    out1, err1 = p1.communicate(timeout=540)
+    assert p0.returncode == 0, f'stdout:\n{out0}\nstderr:\n{err0[-3000:]}'
+    assert p1.returncode == 0, f'stdout:\n{out1}\nstderr:\n{err1[-3000:]}'
+    m0 = re.search(r'WORKER_PREEMPT_STEP (\d+) preempted=(\w+)', out0)
+    m1 = re.search(r'WORKER_PREEMPT_STEP (\d+) preempted=(\w+)', out1)
+    assert m0 and m1, f'{out0}\n{out1}'
+    step0, step1 = int(m0.group(1)), int(m1.group(1))
+    assert step0 == step1 > 0
+    assert m0.group(2) == m1.group(2) == 'True'

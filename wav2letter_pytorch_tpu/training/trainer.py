@@ -315,6 +315,27 @@ class Trainer:
                 prev_handler = signal.signal(sig, _on_preempt)
             except ValueError:       # not the main thread (e.g. tests)
                 sig = None
+        # Multi-host: the stop decision must be AGREED across hosts — a
+        # lone host breaking its dispatch loop leaves the others blocked
+        # in collectives (the hang preemption handling exists to avoid).
+        # Hosts allgather their local flag at identical dispatch indices
+        # (loaders are lockstep by construction) every
+        # `preempt_sync_every` dispatches, so everyone stops at the same
+        # step boundary and saves the same checkpoint.
+        n_proc = jax.process_count()
+        if n_proc > 1 and sig is not None:
+            preempt_sync = max(int(self.cfg['trainer'].get(
+                'preempt_sync_every', 25) or 25), 1)
+            from jax.experimental import multihost_utils
+
+            def _preempt_agreed(i):
+                if i % preempt_sync:
+                    return False
+                return bool(multihost_utils.process_allgather(
+                    np.asarray(self._preempt_requested)).any())
+        else:
+            def _preempt_agreed(i):
+                return self._preempt_requested
         # Throughput bookkeeping starts after the first executed step so
         # `utterances_per_sec` reflects steady state, not XLA compile time
         # (bench.py methodology).
@@ -381,6 +402,8 @@ class Trainer:
         pending_metrics = []
         metrics_flush = max(int(
             self.cfg['trainer'].get('string_metrics_flush', 8) or 8), 1)
+        dispatch_i = 0
+        preempt_stop = False
 
         def _flush_metrics():
             if not pending_metrics:
@@ -453,10 +476,12 @@ class Trainer:
                     pending_metrics.append((sel, out, out_lens))
                     if len(pending_metrics) >= metrics_flush:
                         _flush_metrics()
-                if self._preempt_requested:
+                dispatch_i += 1
+                if _preempt_agreed(dispatch_i):
+                    preempt_stop = True
                     break
             _flush_metrics()
-            if self._preempt_requested:
+            if preempt_stop:
                 # Mid-epoch save: resume re-enters this epoch's shuffle
                 # (extra['epoch'] = epoch) and skips the epoch_step batches
                 # already applied, preserving exact epoch-schedule
