@@ -21,17 +21,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(num_devices: int | None = None, axis: str = 'data',
-              model: int = 1) -> Mesh:
-    """Device mesh: 1-D over ``axis`` or, with ``model > 1``, a 2-D
-    ``(data, model)`` mesh for tensor parallelism (see ``parallel/tp.py``).
+              model: int = 1, seq: int = 1) -> Mesh:
+    """Device mesh: 1-D over ``axis``, growing a ``model`` axis (tensor
+    parallelism, see ``parallel/tp.py``) and/or a ``seq`` axis (sequence
+    parallelism: activation time dims shard across it and the partitioner
+    inserts conv halo exchanges) when their extents exceed 1.
 
     ``num_devices`` is the DATA-axis extent; ``None``/-1 uses all visible
-    devices (divided by ``model`` on a 2-D mesh). Adjacent device ids land
-    on the ``model`` axis so TP collectives ride the shortest ICI hops.
+    devices (divided by ``model * seq`` on a multi-axis mesh). Adjacent
+    device ids land on the trailing axes so the chattiest collectives
+    (TP psums, SP halos) ride the shortest ICI hops.
     """
     devices = jax.devices()
-    model = int(model or 1)
-    if model <= 1:
+    model, seq = int(model or 1), int(seq or 1)
+    if model <= 1 and seq <= 1:
         if num_devices in (None, -1):
             num_devices = len(devices)
         if num_devices > len(devices):
@@ -39,15 +42,19 @@ def make_mesh(num_devices: int | None = None, axis: str = 'data',
                 f'Requested {num_devices} devices, only {len(devices)} '
                 'visible')
         return Mesh(np.array(devices[:num_devices]), (axis,))
+    extra = model * seq
     if num_devices in (None, -1):
-        num_devices = len(devices) // model
-    total = num_devices * model
+        num_devices = len(devices) // extra
+    total = num_devices * extra
     if num_devices < 1 or total > len(devices):
         raise ValueError(
-            f'Requested {num_devices}x{model} (data x model) devices, only '
-            f'{len(devices)} visible')
-    return Mesh(np.array(devices[:total]).reshape(num_devices, model),
-                (axis, 'model'))
+            f'Requested {num_devices}x{model}x{seq} (data x model x seq) '
+            f'devices, only {len(devices)} visible')
+    shape = [num_devices] + ([model] if model > 1 else []) \
+        + ([seq] if seq > 1 else [])
+    names = (axis,) + (('model',) if model > 1 else ()) \
+        + (('seq',) if seq > 1 else ())
+    return Mesh(np.array(devices[:total]).reshape(shape), names)
 
 
 def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:

@@ -105,8 +105,16 @@ class Trainer:
         # mesh.model > 1 adds a tensor-parallel axis: conv weights (and the
         # optimizer state mirroring them) shard their channel dim across it
         # (parallel/tp.py); the train step itself is topology-agnostic.
+        # mesh.seq > 1 adds a sequence-parallel axis: activation TIME dims
+        # shard across it (with_sharding_constraint below) and the GSPMD
+        # partitioner turns every conv into shard-local compute + halo
+        # collective-permutes — per-chip activation memory scales 1/seq for
+        # long utterances. Logits reshard to data-only before CTC (whose
+        # alpha/beta recursion is time-sequential).
         self.mesh = make_mesh(int(mesh_cfg.get('data', -1)),
-                              model=int(mesh_cfg.get('model', 1) or 1))
+                              model=int(mesh_cfg.get('model', 1) or 1),
+                              seq=int(mesh_cfg.get('seq', 1) or 1))
+        self._seq_shard = 'seq' in self.mesh.axis_names
         self.logger = MetricLogger(self.run_dir)
         self._ckpt = None
         ck = tcfg.get('checkpoint', {}) or {}
@@ -170,12 +178,14 @@ class Trainer:
                                      rng=rng_dither)
         if self.augment_fn is not None:
             feats = self.augment_fn(rng_aug, feats)
+        feats = self._seq_constraint(feats, sharded=True)
 
         def loss_fn(params):
             (out, out_lens), mutated = self.model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
                 feats, flens, train=True, rngs={'dropout': rng_dropout},
                 mutable=['batch_stats'])
+            out = self._seq_constraint(out, sharded=False)
             loss = masked_ctc_mean(out, out_lens, batch['targets'],
                                    batch['target_lengths'],
                                    batch['batch_mask'], self.ctc_impl)
@@ -193,11 +203,26 @@ class Trainer:
             out = jnp.argmax(out, axis=-1).astype(jnp.int32)
         return new_state, loss, out, out_lens
 
+    def _seq_constraint(self, x, sharded: bool):
+        """Sequence-parallel sharding constraint on an activation's time
+        dim (``sharded=True``: [B, T, ...] shards T over 'seq';
+        ``sharded=False``: reshard to data-only, e.g. before the
+        time-sequential CTC recursion). No-op on meshes without a seq
+        axis — the annotation-free graph is byte-identical to before."""
+        if not self._seq_shard:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P('data', 'seq') if sharded else P('data')
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
+
     def _eval_step(self, state: TrainState, batch):
         feats, flens = self.frontend(batch['audio'], batch['audio_lengths'])
+        feats = self._seq_constraint(feats, sharded=True)
         out, out_lens = self.model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             feats, flens, train=False)
+        out = self._seq_constraint(out, sharded=False)
         log_probs = jnp.log(jnp.clip(out, 1e-30)) if self.eval_emits_probs \
             else out
         loss = masked_ctc_mean(log_probs, out_lens, batch['targets'],
