@@ -259,22 +259,28 @@ def run_artifact_eval(args):
     from wav2letter_pytorch_tpu.data.dataset import ManifestDataset
     from wav2letter_pytorch_tpu.data.features import (AudioConfig,
                                                       SpectrogramFrontend)
-    from wav2letter_pytorch_tpu.decoding import GreedyDecoder
+    from wav2letter_pytorch_tpu.decoding import (GreedyDecoder,
+                                                 PrefixBeamSearchLMDecoder)
     from wav2letter_pytorch_tpu.serving import (StreamingWav2Letter,
                                                 load_serving)
     from wav2letter_pytorch_tpu.serving.streaming import stream_logprobs
     from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
 
-    for flag, name in ((args.lm_path, '--lm-path'),
-                       (args.beam_search_params, '--beam-search-params'),
-                       (args.word_timings, '--word-timings'),
-                       (args.int8, '--int8'),
-                       (args.average_last, '--average-last'),
-                       (args.model_path, '--model-path')):
+    rejected = [(args.word_timings, '--word-timings'),
+                (args.int8, '--int8'),
+                (args.average_last, '--average-last'),
+                (args.model_path, '--model-path')]
+    if not args.offline:
+        # The incremental streaming decode is greedy; LM beam decoding of
+        # an artifact is supported through the --offline batch path.
+        rejected += [(args.lm_path, '--lm-path'),
+                     (args.beam_search_params, '--beam-search-params')]
+    for flag, name in rejected:
         if flag:
             raise SystemExit(f'{name} is not supported with --artifact '
-                             '(the artifact fixes weights; decoding is '
-                             'greedy — run --model-path eval for beam/LM)')
+                             '(the artifact fixes weights; streaming '
+                             'decoding is greedy — use --offline for '
+                             'beam/LM or --model-path eval)')
     meta, folded, norm_stats = load_serving(args.artifact)
     family = meta.get('family', 'wav2letter')
     labels = meta['labels']
@@ -290,6 +296,13 @@ def run_artifact_eval(args):
     if n_mels is None:
         raise SystemExit('artifact lacks n_mels metadata')
     decoder = GreedyDecoder(labels)
+    beam_params = parse_beam_params(args.beam_search_params)
+    if args.lm_path or beam_params:
+        # Artifact evals decode with the LM-fused beam too (the trained
+        # model and the scripts/build_arpa.py LM make a complete offline
+        # deployment with no kenlm / no training checkpoint).
+        decoder = PrefixBeamSearchLMDecoder(args.lm_path, labels,
+                                            **beam_params)
     ds = ManifestDataset(args.test_manifest, ac, labels)
     if args.offline:
         if family != 'wav2letter':
@@ -349,6 +362,7 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
 
     from wav2letter_pytorch_tpu.data.dataset import BucketBatchLoader
     from wav2letter_pytorch_tpu.data.features import SpectrogramFrontend
+    from wav2letter_pytorch_tpu.decoding import PrefixBeamSearchLMDecoder
     from wav2letter_pytorch_tpu.serving import MeshInference, quantize_folded
     from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
 
@@ -378,10 +392,19 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
     loader = BucketBatchLoader(ds, bs, num_buckets=4, shuffle=False,
                                frame_hop=frontend.hop)
     acc = RatioAccumulator()
+    is_beam = isinstance(decoder, PrefixBeamSearchLMDecoder)
     for batch in loader:
         logp, out_lens = mi.logprobs(batch['audio'],
                                      batch['audio_lengths'])
-        decoded = decoder.decode(logp, sizes=out_lens)
+        if is_beam:
+            # Beam search consumes probability space (reference
+            # decoder.py:164 asserts it); w2l artifacts emit log-probs.
+            probs = np.exp(np.asarray(logp))
+            sizes = np.asarray(out_lens)
+            decoded = [decoder.decode(probs[j][:int(sizes[j])])
+                       for j in range(probs.shape[0])]
+        else:
+            decoded = decoder.decode(logp, sizes=out_lens)
         for j, text in enumerate(batch['texts']):
             if not batch['batch_mask'][j]:
                 continue
@@ -394,6 +417,7 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
                 print(f'decoded  : {decoded[j]}')
     result = {'loss': None, 'num_utterances': len(ds), 'offline': True,
               'artifact': args.artifact, 'weights': mode,
+              'decode': 'beam_lm' if is_beam else 'greedy',
               'normalization': args.offline_norm, 'mesh_devices': n_dev}
     result.update(acc.ratios())
     print(json.dumps(result))
