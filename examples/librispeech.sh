@@ -16,4 +16,11 @@ python train.py data.train_manifest=dev_clean.csv \
 
 python test.py --model-path . --test-manifest test_clean.csv
 
+# Optional: train a 3-gram LM on the transcripts and decode with the
+# LM-fused beam (no kenlm needed; measured ~1.2 pts WER off greedy on the
+# offline corpus — benchmarks/lm_eval.json).
+python scripts/build_arpa.py --manifest dev_clean.csv --out lm.arpa
+python test.py --model-path . --test-manifest test_clean.csv \
+    --lm-path lm.arpa --beam-search-params k=16,alpha=0.4,beta=0
+
 echo "Metrics in ./metrics.csv; TensorBoard logs (if tensorboardX present) in ./tb"

@@ -40,6 +40,13 @@ def main(argv=None):
     parser.add_argument('--average-last', type=int, default=None,
                         help='average the newest K checkpoints\' weights '
                              'before export (checkpoint averaging)')
+    parser.add_argument('--lm-path', default='',
+                        help='ARPA LM to bundle into the artifact '
+                             '(train one: scripts/build_arpa.py); artifact '
+                             'evals then beam-decode with it automatically')
+    parser.add_argument('--lm-beam-params', default='',
+                        help='k=,alpha=,beta=,prune= recorded with the '
+                             'bundled LM as the default decode settings')
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -116,6 +123,7 @@ def main(argv=None):
         print(f'calibrated {len(act_scales)} activation scales '
               f'(first {act_scales[0]:.4f})', file=sys.stderr)
 
+    from wav2letter_pytorch_tpu.decoding.decoder import parse_beam_params
     export_serving(args.out, layers, len(labels), variables, labels=labels,
                    audio_conf=dict(cfg.model.audio_conf),
                    weights='int8' if args.int8 else 'f32',
@@ -123,7 +131,8 @@ def main(argv=None):
                    padding_mode=cfg.model.get('padding_mode', 'reflect'),
                    feature_type=cfg.model.get('feature_type', 'logmel'),
                    n_mels=frontend.n_mels, act_scales=act_scales,
-                   folded=folded)
+                   folded=folded, lm_path=args.lm_path,
+                   lm_beam_params=parse_beam_params(args.lm_beam_params))
     print(f'wrote {args.out}/serving.npz + serving.json', file=sys.stderr)
     return 0
 

@@ -51,6 +51,14 @@ def main(argv=None):
                         help='shard windows across all visible devices')
     parser.add_argument('--verify-oneshot', action='store_true',
                         help='cross-check against the one-shot offline run')
+    parser.add_argument('--lm-path', default='',
+                        help='ARPA LM: decode with LM-fused prefix beam '
+                             'search instead of greedy')
+    parser.add_argument('--beam-search-params', default='',
+                        help='k=,alpha=,beta=,prune= for --lm-path')
+    parser.add_argument('--no-lm', action='store_true',
+                        help='greedy decode even if the artifact bundles '
+                             'an LM')
     parser.add_argument('--json-out', default='',
                         help='write the result record to this file')
     args = parser.parse_args(argv)
@@ -129,8 +137,29 @@ def main(argv=None):
     t0 = time.perf_counter()
     logp, valid = lf.logprobs(audio)
     dt = time.perf_counter() - t0
-    text = decoder.decode(logp[None, :valid, :],
-                          sizes=np.array([valid]))[0]
+    lm_path = args.lm_path
+    beam_params = None
+    if not lm_path and meta.get('lm') and not args.no_lm:
+        # artifact bundles its own LM + decode settings
+        lm_path = os.path.join(args.artifact, meta['lm']['file'])
+        beam_params = dict(meta['lm'].get('beam_params') or {})
+    if lm_path or args.beam_search_params:
+        from wav2letter_pytorch_tpu.decoding import PrefixBeamSearchLMDecoder
+        from wav2letter_pytorch_tpu.decoding.decoder import parse_beam_params
+        from wav2letter_pytorch_tpu.serving.longform import decode_segmented
+        beam_params = dict(beam_params or {},
+                           **parse_beam_params(args.beam_search_params))
+        beam = PrefixBeamSearchLMDecoder(lm_path, meta['labels'],
+                                         **beam_params)
+        t1 = time.perf_counter()
+        # Hour-scale outputs beam-decode per silence-bounded segment: the
+        # probability-space DP underflows past a few thousand frames.
+        text = decode_segmented(logp[:valid], beam)
+        dt_decode = time.perf_counter() - t1
+    else:
+        text = decoder.decode(logp[None, :valid, :],
+                              sizes=np.array([valid]))[0]
+        dt_decode = None
 
     result = {
         'artifact': args.artifact, 'mode': mode, 'norm': args.norm,
@@ -140,6 +169,9 @@ def main(argv=None):
         'x_realtime': round(secs / dt, 1),
         'transcript_chars': len(text),
     }
+    if dt_decode is not None:
+        result['decode'] = 'beam_lm'
+        result['beam_seconds'] = round(dt_decode, 3)
     if reference_text is not None:
         w, wd = decoder.wer_ratio(reference_text, text)
         c, cd = decoder.cer_ratio(reference_text, text)

@@ -26,17 +26,7 @@ import sys
 import numpy as np
 
 
-def parse_beam_params(text: str) -> dict:
-    out = {}
-    if not text:
-        return out
-    for part in text.split(','):
-        key, _, val = part.partition('=')
-        key = key.strip()
-        if key not in ('k', 'alpha', 'beta', 'prune'):
-            raise ValueError(f'Unknown beam-search param {key!r}')
-        out[key] = int(val) if key == 'k' else float(val)
-    return out
+from wav2letter_pytorch_tpu.decoding.decoder import parse_beam_params  # noqa: E402,F401  (canonical home; re-exported for backward compat)
 
 
 def main(argv=None):
@@ -57,6 +47,9 @@ def main(argv=None):
     parser.add_argument('--lm-path', default='',
                         help='ARPA LM for prefix beam search (kenlm if '
                              'installed, else the built-in native scorer)')
+    parser.add_argument('--no-lm', action='store_true',
+                        help='greedy decode even if the artifact bundles '
+                             'an LM (export_serving.py --lm-path)')
     parser.add_argument('--word-timings', action='store_true',
                         help='print (word, start_s, end_s) per utterance '
                              '(greedy decoder only)')
@@ -297,11 +290,18 @@ def run_artifact_eval(args):
         raise SystemExit('artifact lacks n_mels metadata')
     decoder = GreedyDecoder(labels)
     beam_params = parse_beam_params(args.beam_search_params)
-    if args.lm_path or beam_params:
+    lm_path = args.lm_path
+    if args.offline and not lm_path and meta.get('lm') and not args.no_lm:
+        # The artifact bundles its own LM + decode settings
+        # (export_serving.py --lm-path): a complete deployment.
+        lm_path = os.path.join(args.artifact, meta['lm']['file'])
+        beam_params = dict(meta['lm'].get('beam_params') or {},
+                           **beam_params)
+    if lm_path or beam_params:
         # Artifact evals decode with the LM-fused beam too (the trained
         # model and the scripts/build_arpa.py LM make a complete offline
         # deployment with no kenlm / no training checkpoint).
-        decoder = PrefixBeamSearchLMDecoder(args.lm_path, labels,
+        decoder = PrefixBeamSearchLMDecoder(lm_path, labels,
                                             **beam_params)
     ds = ManifestDataset(args.test_manifest, ac, labels)
     if args.offline:

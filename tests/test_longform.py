@@ -145,3 +145,78 @@ def test_longform_mesh_sharded(small):
                                 chunk_frames=40, max_batch=4,
                                 mesh=make_mesh(4))
     np.testing.assert_allclose(logp, ref, atol=2e-5, rtol=0)
+
+
+def test_blank_segments_cover_and_cut():
+    from wav2letter_pytorch_tpu.serving.longform import blank_segments
+
+    # 3 speech bursts separated by 30-frame blank runs.
+    V = 5
+    lp = np.full((300, V), -10.0, np.float32)
+    for a, b in ((0, 80), (110, 200), (230, 300)):
+        lp[a:b, 2] = 0.0          # argmax = label 2 (speech)
+    for a, b in ((80, 110), (200, 230)):
+        lp[a:b, 0] = 0.0          # argmax = blank
+    segs = blank_segments(lp, min_blank_run=20)
+    assert segs[0][0] == 0 and segs[-1][1] == 300
+    assert all(s2 == e1 for (_, e1), (s2, _) in zip(segs, segs[1:]))
+    assert len(segs) == 3
+    # Each cut lands inside a blank run.
+    am = lp.argmax(-1)
+    for _, e in segs[:-1]:
+        assert am[e] == 0
+
+
+def test_blank_segments_forced_split_on_continuous_speech():
+    """No long silences at all: segments must still respect max_frames
+    (probability-space beam DPs underflow past a few thousand frames),
+    splitting at the longest available blank runs."""
+    from wav2letter_pytorch_tpu.serving.longform import blank_segments
+
+    V = 5
+    T = 5000
+    lp = np.full((T, V), -10.0, np.float32)
+    lp[:, 2] = 0.0                      # continuous speech...
+    for t in range(0, T, 97):           # ...with 3-frame micro-blanks
+        lp[t:t + 3, 0] = 10.0
+    segs = blank_segments(lp, min_blank_run=20, max_frames=1200)
+    assert segs[0][0] == 0 and segs[-1][1] == T
+    assert all(s2 == e1 for (_, e1), (s2, _) in zip(segs, segs[1:]))
+    assert max(b - a for a, b in segs) <= 1200
+
+
+def test_decode_segmented_matches_full_beam():
+    """On an in-range sequence with real silences, segmented beam decoding
+    reproduces the full-sequence beam text."""
+    from wav2letter_pytorch_tpu.data.label_sets import labels_map
+    from wav2letter_pytorch_tpu.decoding.decoder import \
+        PrefixBeamSearchLMDecoder
+    from wav2letter_pytorch_tpu.serving.longform import decode_segmented
+
+    labels = labels_map['english_lowercase']
+    ix = {ch: i for i, ch in enumerate(labels)}
+    rng = np.random.default_rng(0)
+    text = 'the cat sat'
+    frames = []
+    for word in text.split():
+        for ch in word:
+            row = np.full(len(labels), 1e-4)
+            row[ix[ch]] = 0.8 + 0.1 * rng.random()
+            frames.append(row)
+            blank = np.full(len(labels), 1e-4)
+            blank[0] = 0.9
+            frames.append(blank)
+        space = np.full(len(labels), 1e-4)
+        space[ix[' ']] = 0.9
+        frames.append(space)
+        for _ in range(30):             # long silence between words
+            blank = np.full(len(labels), 1e-4)
+            blank[0] = 0.95
+            frames.append(blank)
+    probs = np.stack(frames)
+    probs /= probs.sum(-1, keepdims=True)
+    logp = np.log(probs).astype(np.float32)
+    dec = PrefixBeamSearchLMDecoder('', labels, k=8, alpha=0.0, beta=0.0)
+    full = dec.decode(probs).strip()
+    seg = decode_segmented(logp, dec, min_blank_run=20)
+    assert seg == full == text

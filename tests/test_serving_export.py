@@ -123,12 +123,23 @@ def test_export_cli(tmp_path):
                      'scripts', 'export_serving.py'))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    # Bundle a trained LM into the artifact (a complete deployment).
+    lm_path = tmp_path / 'lm.arpa'
+    from wav2letter_pytorch_tpu.decoding.ngram_train import train_arpa
+    with open(manifest) as f:
+        texts = [json.loads(ln)['text'] for ln in f if ln.strip()]
+    train_arpa(texts, str(lm_path), order=2)
     art = tmp_path / 'artifact'
     rc = mod.main(['--model-path', str(run_dir), '--out', str(art),
-                   '--int8', '--cmvn-manifest', manifest, '--calibrate'])
+                   '--int8', '--cmvn-manifest', manifest, '--calibrate',
+                   '--lm-path', str(lm_path),
+                   '--lm-beam-params', 'k=4,alpha=0.3,beta=0'])
     assert rc == 0
     meta, folded, norm_stats = load_serving(str(art))
     assert meta['format'] == 'int8'
+    assert meta['lm'] == {'file': 'lm.arpa',
+                          'beam_params': {'k': 4, 'alpha': 0.3, 'beta': 0.0}}
+    assert (art / 'lm.arpa').exists()
     assert norm_stats is not None and np.all(norm_stats[1] > 0)
     assert len(folded) == 2  # 1 block + head
     assert folded[0][0].dtype == np.int8
@@ -158,6 +169,17 @@ def test_export_cli(tmp_path):
     result = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert result['offline'] is True and result['weights'] == 'int8_full'
     assert result['mesh_devices'] == 8 and 'wer' in result
+    # The bundled LM + beam params were picked up automatically...
+    assert result['decode'] == 'beam_lm'
+    # ... and --no-lm opts back out to greedy.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = test_cli.main(['--artifact', str(art),
+                            '--test-manifest', manifest,
+                            '--offline', '--no-lm'])
+    assert rc == 0
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result['decode'] == 'greedy'
 
     # Same trained run through the streaming demo CLI (synthetic feed).
     spec = importlib.util.spec_from_file_location(

@@ -160,6 +160,22 @@ class GreedyDecoder(Decoder):
         return strings
 
 
+def parse_beam_params(text: str) -> dict:
+    """``'k=16,alpha=0.4,beta=0,prune=1e-3'`` -> kwargs for the beam
+    decoders (the README-promised --beam-search-params CLI format,
+    /root/reference/README.md:54)."""
+    out = {}
+    if not text:
+        return out
+    for part in text.split(','):
+        key, _, val = part.partition('=')
+        key = key.strip()
+        if key not in ('k', 'alpha', 'beta', 'prune'):
+            raise ValueError(f'Unknown beam-search param {key!r}')
+        out[key] = int(val) if key == 'k' else float(val)
+    return out
+
+
 def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
                        alpha: float = 0.3, beta: float = 5, prune: float = 0.001,
                        end_char: str = '>', return_weights: bool = False):

@@ -67,13 +67,19 @@ def export_serving(out_dir: str, layers, num_labels: int, variables,
                    labels=None, audio_conf=None, weights: str = 'f32',
                    norm_stats=None, padding_mode: str = 'reflect',
                    feature_type: str = 'logmel', n_mels: int | None = None,
-                   act_scales=None, folded=None):
+                   act_scales=None, folded=None, lm_path: str | None = None,
+                   lm_beam_params: dict | None = None):
     """Write the serving artifact. Returns the artifact directory.
 
     ``act_scales``: optional static int8 activation scales
     (quantize.calibrate_activation_scales) recorded in the metadata for
     int8_full inference. ``folded``: a pre-computed f32 fold (avoids
-    re-folding when the caller already has one, e.g. for calibration)."""
+    re-folding when the caller already has one, e.g. for calibration).
+    ``lm_path``: optional ARPA LM copied INTO the artifact (as
+    ``lm.arpa``) with ``lm_beam_params`` (k/alpha/beta/prune) recorded —
+    artifact consumers (test.py --artifact, transcribe_long.py) pick it
+    up automatically, making the artifact a complete deployment:
+    weights + normalization + language model + decode settings."""
     os.makedirs(out_dir, exist_ok=True)
     layers = [dict(l) for l in layers]
     if folded is None:
@@ -111,6 +117,11 @@ def export_serving(out_dir: str, layers, num_labels: int, variables,
         'act_scales': (None if act_scales is None
                        else [float(s) for s in act_scales]),
     }
+    if lm_path:
+        import shutil
+        shutil.copyfile(lm_path, os.path.join(out_dir, 'lm.arpa'))
+        meta['lm'] = {'file': 'lm.arpa',
+                      'beam_params': dict(lm_beam_params or {})}
     with open(os.path.join(out_dir, 'serving.json'), 'w') as f:
         json.dump(meta, f, indent=2)
     return out_dir

@@ -216,6 +216,78 @@ def longform_logprobs(layers, folded, frontend, audio,
     return out, t_frames // S
 
 
+def blank_segments(log_probs, blank_index: int = 0,
+                   min_blank_run: int = 20, max_frames: int = 1200):
+    """Split a long utterance's output frames at confident silences.
+
+    Beam-search DPs in probability space (reference decoder.py:147-233
+    parity) underflow float64 after a few thousand frames — a product of
+    ~23k frame probabilities is exactly 0.0 — so hour-scale outputs must
+    be decoded in utterance-scale pieces. Cuts are placed at the centers
+    of argmax-blank runs of at least ``min_blank_run`` frames (~the
+    model asserting silence); segments still longer than ``max_frames``
+    (continuous speech with no long silence) are split recursively at
+    their longest interior blank run — a blank argmax is where prefix
+    hypotheses agree no label is being emitted, the least damaging place
+    to cut.
+
+    Returns a list of (start, end) frame ranges covering [0, T).
+    """
+    am = np.asarray(log_probs).argmax(-1)
+    T = len(am)
+    # All maximal blank runs as (start, length).
+    runs = []
+    run = 0
+    for t in range(T + 1):
+        if t < T and am[t] == blank_index:
+            run += 1
+        else:
+            if run:
+                runs.append((t - run, run))
+            run = 0
+
+    cuts = [s + ln // 2 for s, ln in runs if ln >= min_blank_run]
+    segs = []
+    prev = 0
+    for c in cuts:
+        if c > prev:
+            segs.append((prev, c))
+            prev = c
+    if prev < T:
+        segs.append((prev, T))
+
+    def split(a, b):
+        if b - a <= max_frames:
+            return [(a, b)]
+        # Longest blank run strictly inside (a, b).
+        best = None
+        for s, ln in runs:
+            c = s + ln // 2
+            if a < c < b and (best is None or ln > best[1]):
+                best = (c, ln)
+        c = best[0] if best is not None else (a + b) // 2
+        if c <= a or c >= b:
+            return [(a, b)]
+        return split(a, c) + split(c, b)
+
+    return [piece for a, b in (segs or [(0, T)]) for piece in split(a, b)]
+
+
+def decode_segmented(log_probs, decoder, blank_index: int = 0,
+                     min_blank_run: int = 20, is_log: bool = True):
+    """Beam-decode a long output by independent silence-bounded segments
+    and join with spaces (greedy decoders can consume the full sequence
+    directly and don't need this)."""
+    texts = []
+    for a, b in blank_segments(log_probs, blank_index, min_blank_run):
+        seg = log_probs[a:b]
+        out = decoder.decode(np.exp(seg) if is_log else seg)
+        out = out.strip()
+        if out:
+            texts.append(out)
+    return ' '.join(texts)
+
+
 class LongFormTranscriber:
     """Convenience wrapper: artifact/folded weights + frontend + decoder ->
     ``transcribe(audio) -> str`` for arbitrarily long recordings."""
