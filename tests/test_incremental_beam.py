@@ -83,3 +83,33 @@ def test_streaming_beam_transcriber_matches_offline_beam():
         tr.feed(audio[:, s:s + 2048])
     final = tr.finish(np.asarray(lengths))
     assert final == oneshot
+
+
+def test_hour_scale_stream_does_not_underflow():
+    """The raw-probability DP is exactly 0.0 after ~6k frames without the
+    ranking-preserving renormalization; a long stream must keep decoding
+    the same text a per-segment search produces."""
+    rng = np.random.default_rng(3)
+    pattern = 'ab cab ba '
+    frames = []
+    ix = {ch: i for i, ch in enumerate(LABELS)}
+    for _ in range(300):                        # 300 x 20 = 6000 frames
+        for ch in pattern:
+            row = np.full(len(LABELS), 0.01)
+            row[ix[ch]] = 0.9
+            frames.append(row)
+            blank = np.full(len(LABELS), 0.01)
+            blank[0] = 0.9
+            frames.append(blank)
+    probs = np.stack(frames)
+    probs /= probs.sum(-1, keepdims=True)
+    inc = IncrementalPrefixBeam(LABELS, k=4, alpha=0.0, beta=0.0,
+                                prune=0.001)
+    for lo in range(0, len(probs), 200):        # 640 ms-ish chunks
+        inc.step(probs[lo:lo + 200])
+    out = inc.result()
+    assert out.split() == ('ab cab ba ' * 300).split()
+    assert inc.renorm_log10 < -50                # it really renormalized
+    # The carried masses stayed in float range.
+    top = inc._p_b[out] + inc._p_nb[out]
+    assert top > 0.0

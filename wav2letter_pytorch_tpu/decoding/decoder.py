@@ -284,6 +284,10 @@ class IncrementalPrefixBeam:
         self._p_b = Counter({'': 1.0})
         self._p_nb = Counter({'': 0.0})
         self._beams = ['']
+        # log10 of the total mass divided out by renormalization (see
+        # step()); result(return_weights=True) weights are in the
+        # rescaled domain — true log10 weight = log10(weight) + this.
+        self.renorm_log10 = 0.0
 
     def step(self, ctc) -> str:
         """Consume a [T, L] chunk of probabilities; returns current best."""
@@ -331,6 +335,21 @@ class IncrementalPrefixBeam:
             self._beams = sorted(scores, key=rank, reverse=True)[:self.k] \
                 or ['']
             self._p_b, self._p_nb = p_b, p_nb
+        # Unbounded streams: the raw-probability DP underflows float64
+        # after ~6k frames (a product of that many frame probabilities is
+        # exactly 0.0). A uniform rescale of every prefix mass is exactly
+        # ranking-preserving — the recursion and the rank are linear in
+        # the masses — so renormalize by the leader once it shrinks below
+        # 1e-30; short inputs never trigger it (bit-exact parity with the
+        # one-shot search preserved).
+        top = self._p_b[self._beams[0]] + self._p_nb[self._beams[0]]
+        if 0.0 < top < 1e-30:
+            inv = 1.0 / top
+            self._p_b = Counter({p: v * inv for p, v in self._p_b.items()})
+            self._p_nb = Counter({p: v * inv
+                                  for p, v in self._p_nb.items()})
+            import math
+            self.renorm_log10 += math.log10(top)
         return self._beams[0]
 
     def result(self, return_weights: bool = False):
