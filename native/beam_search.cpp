@@ -197,6 +197,28 @@ int64_t w2l_prefix_beam_search(
 
     pb_prev.swap(pb);
     pnb_prev.swap(pnb);
+
+    // Hour-scale inputs: the raw-probability DP underflows double after
+    // a few thousand frames (product of per-frame probabilities). A
+    // uniform rescale of every prefix mass is exactly ranking-preserving
+    // (the recursion and the rank are linear in the masses); short
+    // inputs never trigger it, keeping bit-exact parity with the Python
+    // DP. Mirrors decoder.py::IncrementalPrefixBeam's renormalization.
+    if (!beams.empty()) {
+      const double top =
+          [&] {
+            auto itb = pb_prev.find(beams[0]);
+            auto itn = pnb_prev.find(beams[0]);
+            return (itb == pb_prev.end() ? 0.0 : itb->second) +
+                   (itn == pnb_prev.end() ? 0.0 : itn->second);
+          }();
+      if (top > 0.0 && top < 1e-30) {
+        const double inv = 1.0 / top;
+        for (auto& kv : pb_prev) kv.second *= inv;
+        for (auto& kv : pnb_prev) kv.second *= inv;
+        for (auto& kv : scores) kv.second *= inv;  // final-mass report
+      }
+    }
   }
 
   U32Str best = beams.empty() ? U32Str() : beams[0];

@@ -102,3 +102,31 @@ def test_native_is_faster():
     t_cc = time.perf_counter() - t0
     assert cc == py
     assert t_cc < t_py  # typically 10-100x
+
+
+def test_native_long_input_does_not_underflow():
+    """Mirror of the incremental-beam renorm: the C++ DP must decode an
+    hour-scale input whose raw probability product underflows double."""
+    import numpy as np
+
+    from wav2letter_pytorch_tpu.decoding.beam_native import (
+        native_available, prefix_beam_search_native)
+    if not native_available():
+        import pytest
+        pytest.skip('native library not built')
+    labels = ['_', 'a', 'b', 'c', ' ']
+    ix = {ch: i for i, ch in enumerate(labels)}
+    frames = []
+    for _ in range(800):                       # 16,000 frames
+        for ch in 'ab cab ba ':
+            row = np.full(len(labels), 0.01)
+            row[ix[ch]] = 0.9
+            frames.append(row)
+            blank = np.full(len(labels), 0.01)
+            blank[0] = 0.9
+            frames.append(blank)
+    probs = np.stack(frames).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    out = prefix_beam_search_native(probs, labels, k=4, alpha=0.0,
+                                    beta=0.0, prune=0.001)
+    assert out.split() == ('ab cab ba ' * 800).split()
