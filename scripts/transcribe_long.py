@@ -59,6 +59,10 @@ def main(argv=None):
     parser.add_argument('--no-lm', action='store_true',
                         help='greedy decode even if the artifact bundles '
                              'an LM')
+    parser.add_argument('--word-timings', action='store_true',
+                        help='print (word, start_s, end_s) lines to stderr '
+                             'and include them in --json-out (greedy '
+                             'offsets; hour-scale timestamping)')
     parser.add_argument('--json-out', default='',
                         help='write the result record to this file')
     args = parser.parse_args(argv)
@@ -161,6 +165,26 @@ def main(argv=None):
                               sizes=np.array([valid]))[0]
         dt_decode = None
 
+    word_times = None
+    if args.word_timings:
+        from wav2letter_pytorch_tpu.decoding import get_time_per_word
+        g_text, g_offsets = decoder.decode(logp[None, :valid, :],
+                                           sizes=np.array([valid]),
+                                           return_offsets=True)
+        # seconds per output frame = window_stride x conv scaling factor
+        scale = 1
+        for l in meta['layers']:
+            scale *= int(l.get('stride', 1))
+        ratio = float(ac['window_stride']) * scale
+        word_times = [(w, round(float(a), 2), round(float(b), 2))
+                      for w, a, b in get_time_per_word(
+                          list(g_text[0]), list(g_offsets[0]), ratio)]
+        for w, a, b in word_times[:20]:
+            print(f'{a:9.2f} {b:9.2f}  {w}', file=sys.stderr)
+        if len(word_times) > 20:
+            print(f'... {len(word_times) - 20} more words',
+                  file=sys.stderr)
+
     result = {
         'artifact': args.artifact, 'mode': mode, 'norm': args.norm,
         'audio_seconds': round(secs, 2),
@@ -172,6 +196,8 @@ def main(argv=None):
     if dt_decode is not None:
         result['decode'] = 'beam_lm'
         result['beam_seconds'] = round(dt_decode, 3)
+    if word_times is not None:
+        result['num_words_timed'] = len(word_times)
     if reference_text is not None:
         w, wd = decoder.wer_ratio(reference_text, text)
         c, cd = decoder.cer_ratio(reference_text, text)
@@ -199,6 +225,8 @@ def main(argv=None):
             (np.asarray(ref)[0].argmax(-1) == logp.argmax(-1)).all())
     print(json.dumps(result))
     if args.json_out:
+        if word_times is not None:   # full list only in the file record
+            result['word_timings'] = word_times
         with open(args.json_out, 'w') as f:
             json.dump(result, f, indent=1)
     if reference_text is None:

@@ -220,3 +220,47 @@ def test_decode_segmented_matches_full_beam():
     full = dec.decode(probs).strip()
     seg = decode_segmented(logp, dec, min_blank_run=20)
     assert seg == full == text
+
+
+def test_transcribe_long_cli_word_timings(small, tmp_path):
+    """scripts/transcribe_long.py --word-timings: hour-scale timestamping
+    surface (reference decoder.py:270-302 exposes word timing only through
+    the in-process API; here it rides the long-form CLI + JSON record)."""
+    import importlib.util
+    import json as _json
+    import os
+
+    from wav2letter_pytorch_tpu.data.audio_io import write_wav
+    from wav2letter_pytorch_tpu.serving import export_serving
+
+    _, variables, frontend = small
+    art = export_serving(str(tmp_path / 'art'), SMALL_LAYERS, 7, variables,
+                         labels=list('_abcde '),
+                         audio_conf={'sample_rate': 16000,
+                                     'window_size': 0.02,
+                                     'window_stride': 0.01,
+                                     'window': 'hamming'})
+    audio = _audio(60000, seed=21)
+    wav = str(tmp_path / 'long.wav')
+    write_wav(wav, audio, 16000)
+
+    spec = importlib.util.spec_from_file_location(
+        'transcribe_long',
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     'scripts', 'transcribe_long.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / 'result.json')
+    rc = mod.main(['--artifact', art, '--audio', wav, '--word-timings',
+                   '--chunk-frames', '40', '--json-out', out])
+    assert rc == 0
+    with open(out) as f:
+        rec = _json.load(f)
+    assert rec['num_words_timed'] == len(rec['word_timings'])
+    secs = 60000 / 16000
+    prev_start = -1.0
+    for word, start, end in rec['word_timings']:
+        assert word and ' ' not in word
+        assert 0 <= start <= end <= secs + 0.1     # inside the recording
+        assert start >= prev_start                 # monotone word order
+        prev_start = start
