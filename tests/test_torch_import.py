@@ -133,7 +133,8 @@ def _torch_jasper(f_in, blocks, n_labels):
         blk = torch.nn.Module()
         mods, seed = [], len(enc) * 100
         c_loop = cin
-        for r in range(spec.get('repeat', 1)):
+        repeat = spec.get('repeat', 1)
+        for r in range(repeat):
             k = spec['kernel_size']
             s = spec['stride']
             pad = get_same_padding(k, s, 1)
@@ -143,6 +144,12 @@ def _torch_jasper(f_in, blocks, n_labels):
             mods.append(_mc(torch.nn.Conv1d(c_loop, spec['layer_size'], 1,
                                             bias=False)))
             mods.append(_bn(spec['layer_size'], seed + r))
+            if r < repeat - 1:
+                # parameter-less act+dropout slots occupy mconv indices in
+                # the reference (jasper.py:214-216, 374-377) — keep them so
+                # this shell's state_dict keys match a real checkpoint's
+                mods.append(torch.nn.ReLU())
+                mods.append(torch.nn.Dropout(spec.get('dropout', 0.0)))
             c_loop = spec['layer_size']
         blk.mconv = torch.nn.ModuleList(mods)
         if spec.get('residual'):
@@ -174,6 +181,7 @@ def _torch_jasper_forward(root, x, blocks):
                 i += 3
                 if r < spec.get('repeat', 1) - 1:
                     h = torch.relu(h)
+                    i += 2  # act + dropout slots
             if spec.get('residual'):
                 r0 = blk.res[0][1].eval()(blk.res[0][0].conv(xt))
                 h = h + r0
@@ -197,6 +205,49 @@ def test_jasper_import_numeric_parity():
     ours, _ = model.apply(tree, jnp.asarray(x), jnp.array([T, T]),
                           train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_w2l_export_strict_loads_and_roundtrips():
+    """Export emits the reference's exact key set (strict load) and
+    import(export(v)) == v."""
+    from wav2letter_pytorch_tpu.training.torch_import import (
+        torch_state_dict_from_variables)
+
+    F, L = 16, 29
+    model = Wav2Letter(layers=W2L_LAYERS, num_labels=L, mid_layers=2)
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, F)),
+                           jnp.array([64]), train=False)
+    sd = torch_state_dict_from_variables(variables)
+    shell = _torch_w2l(F, W2L_LAYERS, L, seed=9)
+    shell.load_state_dict({k: torch.tensor(v) for k, v in sd.items()},
+                          strict=True)
+    back = variables_from_torch_state_dict(shell.state_dict(), variables)
+    for a, b in zip(jax.tree_util.tree_leaves(
+            {'params': variables['params'],
+             'batch_stats': variables['batch_stats']}),
+            jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_jasper_export_strict_loads_and_roundtrips():
+    from wav2letter_pytorch_tpu.training.torch_import import (
+        torch_state_dict_from_variables)
+
+    F, L = 16, 29
+    model = Jasper(jasper_blocks=JASPER_BLOCKS, num_labels=L, mid_layers=2)
+    variables = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 32, F)),
+                           jnp.array([32]), train=False)
+    sd = torch_state_dict_from_variables(variables,
+                                         jasper_blocks=JASPER_BLOCKS)
+    shell = _torch_jasper(F, JASPER_BLOCKS, L)
+    shell.load_state_dict({k: torch.tensor(v) for k, v in sd.items()},
+                          strict=True)
+    back = variables_from_torch_state_dict(shell.state_dict(), variables)
+    for a, b in zip(jax.tree_util.tree_leaves(
+            {'params': variables['params'],
+             'batch_stats': variables['batch_stats']}),
+            jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), b)
 
 
 def test_import_rejects_geometry_mismatch():
@@ -248,3 +299,22 @@ def test_import_cli_roundtrip(tmp_path):
     import test as test_cli
     rc = test_cli.main(['--model-path', out, '--test-manifest', manifest])
     assert rc == 0
+
+    # full circle: export back to a reference-format torch checkpoint and
+    # compare tensor-for-tensor with the original state_dict
+    spec2 = importlib.util.spec_from_file_location(
+        'export_torch_checkpoint',
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     'scripts', 'export_torch_checkpoint.py'))
+    mod2 = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(mod2)
+    back_ckpt = str(tmp_path / 'back.ckpt')
+    rc = mod2.main(['--model-path', out, '--out', back_ckpt])
+    assert rc == 0
+    back_sd = torch.load(back_ckpt, map_location='cpu',
+                         weights_only=True)['state_dict']
+    orig_sd = root.state_dict()
+    assert set(back_sd) == set(orig_sd)
+    for k in orig_sd:
+        np.testing.assert_allclose(back_sd[k].numpy(), orig_sd[k].numpy(),
+                                   atol=1e-7, err_msg=k)

@@ -180,6 +180,83 @@ def _import_jasper(sd: dict, params: dict, stats: dict) -> None:
                          'head bias')
 
 
+def torch_state_dict_from_variables(variables, jasper_blocks=None) -> dict:
+    """Inverse of :func:`variables_from_torch_state_dict`: emit a numpy
+    ``state_dict`` in the REFERENCE's key layout, loadable by the original
+    torch models with ``load_state_dict(strict=True)``.
+
+    For Jasper, ``jasper_blocks`` (the config dicts) is required to
+    reproduce the exact ``mconv`` ModuleList indices: parameter-less
+    activation/dropout modules occupy an index slot after every non-last
+    repeat (jasper.py:374-377, 214-216) and ``groups > 1`` inserts a
+    GroupShuffle slot (jasper.py:369-370), so indices depend on config,
+    not just on which tensors exist.
+    """
+    params = variables['params']
+    stats = variables.get('batch_stats', {}) or {}
+    sd: dict[str, np.ndarray] = {}
+
+    def put_conv(key: str, kern, bias=None):
+        sd[key + '.weight'] = np.asarray(kern, np.float32).transpose(2, 1, 0)
+        if bias is not None:
+            sd[key + '.bias'] = np.asarray(bias, np.float32)
+
+    def put_norm(key: str, p, st):
+        sd[key + '.weight'] = np.asarray(p['scale'], np.float32)
+        sd[key + '.bias'] = np.asarray(p['bias'], np.float32)
+        if st is not None:
+            sd[key + '.running_mean'] = np.asarray(st['mean'], np.float32)
+            sd[key + '.running_var'] = np.asarray(st['var'], np.float32)
+            sd[key + '.num_batches_tracked'] = np.asarray(0, np.int64)
+
+    if any(n.startswith('conv1d_') for n in params):
+        for name in params:
+            blk = params[name]
+            put_conv(f'conv1ds.{name}.conv1', blk['Conv_0']['kernel'],
+                     blk['Conv_0']['bias'])
+            if 'BatchNorm_0' in blk:
+                put_norm(f'conv1ds.{name}.batch_norm', blk['BatchNorm_0'],
+                         stats.get(name, {}).get('BatchNorm_0'))
+        return sd
+
+    if jasper_blocks is None:
+        raise ValueError('jasper_blocks (config dicts) required to emit '
+                         'reference mconv indices for a Jasper export')
+    blocks = sorted((n for n in params if n.startswith('block')),
+                    key=lambda n: int(n[5:]))
+    for bi, bname in enumerate(blocks):
+        bparams, bstats = params[bname], stats.get(bname, {})
+        spec = jasper_blocks[bi]
+        groups = int(spec.get('groups', 1))
+        idx = 0
+        r = 0
+        while f'rep{r}_norm' in bparams:
+            conv_names = ([f'rep{r}_dw', f'rep{r}_pw']
+                          if f'rep{r}_dw' in bparams else [f'rep{r}_conv'])
+            for cn in conv_names:
+                put_conv(f'jasper_encoder.{bi}.mconv.{idx}.conv',
+                         bparams[cn]['Conv_0']['kernel'])
+                idx += 1
+            put_norm(f'jasper_encoder.{bi}.mconv.{idx}',
+                     bparams[f'rep{r}_norm'], bstats.get(f'rep{r}_norm'))
+            idx += 1
+            if groups > 1:
+                idx += 1                     # GroupShuffle slot, no params
+            r += 1
+            if f'rep{r}_norm' in bparams:
+                idx += 2                     # act + dropout slots, no params
+        j = 0
+        while f'res{j}_conv' in bparams:
+            put_conv(f'jasper_encoder.{bi}.res.{j}.0.conv',
+                     bparams[f'res{j}_conv']['Conv_0']['kernel'])
+            put_norm(f'jasper_encoder.{bi}.res.{j}.1',
+                     bparams[f'res{j}_norm'], bstats.get(f'res{j}_norm'))
+            j += 1
+    put_conv('final_layer.0', params['head']['kernel'],
+             params['head']['bias'])
+    return sd
+
+
 def variables_from_torch_state_dict(state_dict: dict, variables) -> dict:
     """Map a reference-model torch ``state_dict`` onto ``variables``.
 
