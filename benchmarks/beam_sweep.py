@@ -109,8 +109,18 @@ def main(argv=None):
     parser.add_argument('--alphas', default='0.2,0.3,0.4,0.5,0.7,1.0')
     parser.add_argument('--betas', default='0,1,2')
     parser.add_argument('--prune', type=float, default=1e-3)
+    parser.add_argument('--cpu', action='store_true',
+                        help='pin JAX to CPU (the ambient env pins a TPU '
+                             'tunnel in a way plain env vars do not '
+                             'override; see tests/conftest.py)')
     parser.add_argument('--out', default='')
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import os as _os
+        _os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     from wav2letter_pytorch_tpu.decoding import (GreedyDecoder,
                                                  PrefixBeamSearchLMDecoder)
