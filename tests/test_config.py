@@ -37,6 +37,31 @@ def test_group_swap_and_dotted_overrides():
     assert cfg.model.mid_layers == 3
 
 
+def test_quartznet_group_builds():
+    """model=quartznet: QuartzNet-15x5 on the Jasper block machinery
+    (beyond-reference config; truncated build must forward cleanly)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from wav2letter_pytorch_tpu.training import build_labels, build_model
+
+    cfg = _load('model=quartznet', complete=True)
+    assert cfg.model.name == 'jasper'
+    assert len(cfg.model.jasper_blocks) == 18
+    assert cfg.model.mid_layers == 18
+    assert [b.get('repeat', 1) for b in cfg.model.jasper_blocks[1:4]] == [5] * 3
+    cfg = _load('model=quartznet', 'model.mid_layers=2', complete=True)
+    labels = build_labels(cfg.model)
+    model = build_model(cfg.model, num_labels=len(labels))
+    x = jnp.asarray(np.zeros((1, 48, 64), np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.array([48]),
+                           train=False)
+    probs, lens = model.apply(variables, x, jnp.array([48]), train=False)
+    assert probs.shape == (1, 24, len(labels)) and int(lens[0]) == 24
+
+
 def test_interpolation():
     cfg = _load('model.input_size=48', complete=True)
     assert cfg.data.mel_spec == 48
