@@ -134,6 +134,26 @@ def test_jasper_flagship_structure():
     assert sj.lookahead_frames > 100
 
 
+def test_quartznet_structure_streams():
+    """model=quartznet geometry (toy widths): repeat-5 separable residual
+    blocks + the dilation-2 context block stream with exact offline
+    parity — the new family is fully servable."""
+    from wav2letter_pytorch_tpu.config import load_config
+    cfg = load_config(['data.train_manifest=u', 'data.val_manifest=u',
+                       'model=quartznet'])
+    blocks = []
+    # C1, one B block per kernel size, C2 (dilated), C3 — full structural
+    # variety at toy widths (the full 18-block stack only adds repetition)
+    for idx in [0, 1, 4, 7, 10, 13, 16, 17]:
+        b = dict(cfg.model.jasper_blocks[idx])
+        b['layer_size'] = 12
+        blocks.append(b)
+    assert any(int(b.get('dilation', 1)) > 1 for b in blocks)
+    assert any(int(b.get('repeat', 1)) == 5 for b in blocks)
+    sj = _parity(blocks, [640], chunk_frames=32, n_chunks=1, seed=11)
+    assert sj.lookahead_frames > 50
+
+
 @pytest.mark.parametrize('mode', ['int8', 'int8_full'])
 def test_jasper_quantized_modes_close_to_f32(mode):
     """Weight-only int8 Jasper streaming stays close to the f32 session
