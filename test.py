@@ -29,6 +29,26 @@ import numpy as np
 from wav2letter_pytorch_tpu.decoding.decoder import parse_beam_params  # noqa: E402,F401  (canonical home; re-exported for backward compat)
 
 
+class _UttDump:
+    """Per-utterance JSONL writer shared by the eval paths (--dump-jsonl);
+    consumed by scripts/error_analysis.py."""
+
+    def __init__(self, path: str):
+        self._f = open(path, 'w') if path else None
+
+    def add(self, path, ref, hyp, w, wd, c, cd):
+        if self._f is None:
+            return
+        self._f.write(json.dumps({
+            'path': path, 'ref': ref, 'hyp': hyp,
+            'wer_edits': int(w), 'ref_words': int(wd),
+            'cer_edits': int(c), 'ref_chars': int(cd)}) + '\n')
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description='Offline ASR evaluation')
     parser.add_argument('--model-path', default='',
@@ -89,6 +109,10 @@ def main(argv=None):
                              "batched on-accelerator search (decoding/"
                              "beam_device.py); with --lm-path the n-best "
                              "list is LM-rescored on host")
+    parser.add_argument('--dump-jsonl', default='',
+                        help='write one JSON record per utterance '
+                             '(path/ref/hyp/edit counts) for error '
+                             'analysis (scripts/error_analysis.py)')
     parser.add_argument('--average-last', type=int, default=None,
                         help='average the weights of the newest K '
                              'checkpoints before evaluating (checkpoint '
@@ -188,6 +212,7 @@ def main(argv=None):
 
     eval_step = trainer._get_jitted('eval')
     acc = RatioAccumulator()
+    dump = _UttDump(args.dump_jsonl)
     losses = []
     for batch in loader:
         device_batch = shard_batch(
@@ -227,6 +252,7 @@ def main(argv=None):
             w, wd = decoder.wer_ratio(expected, decoded[j])
             acc.add('cer', c, cd)
             acc.add('wer', w, wd)
+            dump.add(batch['paths'][j], expected, decoded[j], w, wd, c, cd)
             if args.print_all or (args.print_samples and j == 0):
                 print(f'reference: {expected}')
                 print(f'decoded  : {decoded[j]}')
@@ -237,6 +263,7 @@ def main(argv=None):
                 print(f'timings  : ' + ' '.join(
                     f'{w}[{s0:.2f}-{e0:.2f}]' for w, s0, e0 in times))
 
+    dump.close()
     result = {'loss': float(np.mean(losses)) if losses else None,
               'num_utterances': len(ds)}
     result.update(acc.ratios())
@@ -327,9 +354,10 @@ def run_artifact_eval(args):
             folded=folded, chunk_frames=args.streaming_chunk_frames,
             padding_mode=meta.get('padding_mode', 'reflect'), **kw)
     acc = RatioAccumulator()
+    dump = _UttDump(args.dump_jsonl)
     n_skipped = 0
     for i in range(len(ds)):
-        audio, _, _, text = ds[i]
+        audio, _, path, text = ds[i]
         audio = np.asarray(audio, np.float32)[None, :]
         if audio.shape[1] <= sw.prime_samples:
             n_skipped += 1
@@ -340,9 +368,11 @@ def run_artifact_eval(args):
         w, wd = decoder.wer_ratio(text, decoded)
         acc.add('cer', c, cd)
         acc.add('wer', w, wd)
+        dump.add(path, text, decoded, w, wd, c, cd)
         if args.print_all or (args.print_samples and i == 0):
             print(f'reference: {text}')
             print(f'decoded  : {decoded}')
+    dump.close()
     # num_utterances = utterances the WER/CER actually cover (utterances
     # shorter than the prime window are skipped, not silently included).
     result = {'loss': None, 'num_utterances': len(ds) - n_skipped,
@@ -392,6 +422,7 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
     loader = BucketBatchLoader(ds, bs, num_buckets=4, shuffle=False,
                                frame_hop=frontend.hop)
     acc = RatioAccumulator()
+    dump = _UttDump(args.dump_jsonl)
     is_beam = isinstance(decoder, PrefixBeamSearchLMDecoder)
     for batch in loader:
         logp, out_lens = mi.logprobs(batch['audio'],
@@ -412,9 +443,11 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
             w, wd = decoder.wer_ratio(text, decoded[j])
             acc.add('cer', c, cd)
             acc.add('wer', w, wd)
+            dump.add(batch['paths'][j], text, decoded[j], w, wd, c, cd)
             if args.print_all or (args.print_samples and j == 0):
                 print(f'reference: {text}')
                 print(f'decoded  : {decoded[j]}')
+    dump.close()
     result = {'loss': None, 'num_utterances': len(ds), 'offline': True,
               'artifact': args.artifact, 'weights': mode,
               'decode': 'beam_lm' if is_beam else 'greedy',

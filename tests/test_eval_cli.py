@@ -142,3 +142,43 @@ def test_eval_cli_device_beam(trained_run, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 'wer' in result and result['num_utterances'] == 6
+
+
+def test_eval_cli_dump_and_error_analysis(trained_run, tmp_path, capsys):
+    """--dump-jsonl feeds scripts/error_analysis.py: per-utterance records
+    with edit counts consistent with the corpus WER."""
+    import importlib.util
+    import os
+
+    run_dir, manifest = trained_run
+    dump = str(tmp_path / 'utts.jsonl')
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--dump-jsonl', dump])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    with open(dump) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert len(recs) == result['num_utterances'] == 6
+    assert all(set(r) == {'path', 'ref', 'hyp', 'wer_edits', 'ref_words',
+                          'cer_edits', 'ref_chars'} for r in recs)
+    # dump edit counts reproduce the corpus ratio exactly
+    assert sum(r['wer_edits'] for r in recs) / \
+        sum(r['ref_words'] for r in recs) == result['wer']
+
+    spec = importlib.util.spec_from_file_location(
+        'error_analysis',
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     'scripts', 'error_analysis.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = str(tmp_path / 'report.json')
+    rc = mod.main([dump, '--worst', '3', '--json-out', report])
+    assert rc == 0
+    with open(report) as f:
+        rep = json.load(f)
+    assert rep['num_utterances'] == 6
+    assert len(rep['worst_utterances']) == 3
+    # alignment-based WER must equal the eval's corpus WER
+    assert abs(rep['wer'] - result['wer']) < 1e-12

@@ -26,3 +26,24 @@ def test_native_matches_python_fallback():
 def test_batch_distance():
     pairs = [('kitten', 'sitting'), ('', ''), ('a', 'b'), ('same', 'same')]
     assert levenshtein.batch_distance(pairs) == [3, 0, 1, 0]
+
+
+def test_align_ops_match_distance():
+    rng = random.Random(7)
+    words = ['the', 'cat', 'sat', 'on', 'a', 'mat', 'hat']
+    for _ in range(30):
+        a = [rng.choice(words) for _ in range(rng.randrange(0, 10))]
+        b = [rng.choice(words) for _ in range(rng.randrange(0, 10))]
+        ops = levenshtein.align(a, b)
+        errs = [o for o in ops if o[0] != 'ok']
+        ids = {w: i for i, w in enumerate(words)}
+        assert len(errs) == levenshtein.distance([ids[w] for w in a],
+                                                 [ids[w] for w in b])
+        # alignment reconstructs both sequences
+        assert [r for op, r, _ in ops if op in ('ok', 'sub', 'del')] == a
+        assert [h for op, _, h in ops if op in ('ok', 'sub', 'ins')] == b
+        for op, r, h in ops:
+            if op == 'ok':
+                assert r == h
+            elif op == 'sub':
+                assert r != h

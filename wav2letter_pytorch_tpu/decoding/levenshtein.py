@@ -116,3 +116,40 @@ def batch_distance(pairs) -> list[int]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out.tolist()
+
+
+def align(ref, hyp):
+    """Minimum-edit alignment of two token sequences.
+
+    Returns ``[(op, ref_tok, hyp_tok), ...]`` with op in
+    {'ok', 'sub', 'del', 'ins'} (absent side is None); the number of
+    non-'ok' entries equals :func:`distance`. Host-side analysis tool
+    (scripts/error_analysis.py) — the hot WER path stays on the C++
+    distance kernels above.
+    """
+    ref, hyp = list(ref), list(hyp)
+    n, m = len(ref), len(hyp)
+    d = np.zeros((n + 1, m + 1), dtype=np.int32)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                          d[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1]))
+    ops = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and d[i, j] == d[i - 1, j - 1] \
+                and ref[i - 1] == hyp[j - 1]:
+            ops.append(('ok', ref[i - 1], hyp[j - 1]))
+            i, j = i - 1, j - 1
+        elif i > 0 and j > 0 and d[i, j] == d[i - 1, j - 1] + 1:
+            ops.append(('sub', ref[i - 1], hyp[j - 1]))
+            i, j = i - 1, j - 1
+        elif i > 0 and d[i, j] == d[i - 1, j] + 1:
+            ops.append(('del', ref[i - 1], None))
+            i -= 1
+        else:
+            ops.append(('ins', None, hyp[j - 1]))
+            j -= 1
+    return ops[::-1]
