@@ -508,9 +508,10 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
     _fb_vars = jax.device_put(variables)
     _fb_grid = max(sr // 2, 1)
     acc = RatioAccumulator()
+    dump = _UttDump(args.dump_jsonl)
     n_fallback = 0
     for i in range(len(ds)):
-        audio, _, _, text = ds[i]
+        audio, _, upath, text = ds[i]
         audio = np.asarray(audio, np.float32)[None, :]
         if audio.shape[1] <= sw.prime_samples:
             n_fallback += 1
@@ -546,10 +547,12 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
         w, wd = decoder.wer_ratio(text, decoded)
         acc.add('cer', c, cd)
         acc.add('wer', w, wd)
+        dump.add(upath, text, decoded, w, wd, c, cd)
         if args.print_all or (args.print_samples and i == 0):
             print(f'reference: {text}')
             print(f'decoded  : {decoded}')
 
+    dump.close()
     result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
               'offline_fallback': n_fallback,
               'weights': 'int8' if args.int8 else 'f32'}
