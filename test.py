@@ -109,6 +109,13 @@ def main(argv=None):
                              "batched on-accelerator search (decoding/"
                              "beam_device.py); with --lm-path the n-best "
                              "list is LM-rescored on host")
+    parser.add_argument('--hotwords', default='',
+                        help='comma-separated words/phrases to bias toward '
+                             '(contextual biasing inside the beam search; '
+                             'implies beam decoding; host backend only)')
+    parser.add_argument('--hotword-weight', type=float, default=2.0,
+                        help='per-matched-character mass multiplier for '
+                             '--hotwords (decoding.HotwordTrie)')
     parser.add_argument('--dump-jsonl', default='',
                         help='write one JSON record per utterance '
                              '(path/ref/hyp/edit counts) for error '
@@ -166,13 +173,18 @@ def main(argv=None):
     optimizer, schedule = build_optimizer(cfg.model, 1, 1)
 
     beam_params = parse_beam_params(args.beam_search_params)
+    hotwords = [w for w in args.hotwords.split(',') if w.strip()] or None
+    if hotwords and args.beam_backend == 'device':
+        raise SystemExit('--hotwords needs the host beam backend '
+                         '(biasing runs inside the python DP)')
     if (args.lm_path or beam_params) and args.beam_backend == 'device':
         from wav2letter_pytorch_tpu.decoding import DeviceBeamDecoder
         decoder = DeviceBeamDecoder(labels, lm_path=args.lm_path,
                                     **beam_params)
-    elif args.lm_path or beam_params:
-        decoder = PrefixBeamSearchLMDecoder(args.lm_path, labels,
-                                            **beam_params)
+    elif args.lm_path or beam_params or hotwords:
+        decoder = PrefixBeamSearchLMDecoder(
+            args.lm_path, labels, hotwords=hotwords,
+            hotword_weight=args.hotword_weight, **beam_params)
     else:
         decoder = build_decoder(cfg.model, labels)
 
@@ -294,7 +306,8 @@ def run_artifact_eval(args):
         # The incremental streaming decode is greedy; LM beam decoding of
         # an artifact is supported through the --offline batch path.
         rejected += [(args.lm_path, '--lm-path'),
-                     (args.beam_search_params, '--beam-search-params')]
+                     (args.beam_search_params, '--beam-search-params'),
+                     (args.hotwords, '--hotwords')]
     for flag, name in rejected:
         if flag:
             raise SystemExit(f'{name} is not supported with --artifact '
@@ -324,12 +337,14 @@ def run_artifact_eval(args):
         lm_path = os.path.join(args.artifact, meta['lm']['file'])
         beam_params = dict(meta['lm'].get('beam_params') or {},
                            **beam_params)
-    if lm_path or beam_params:
+    hotwords = [w for w in args.hotwords.split(',') if w.strip()] or None
+    if lm_path or beam_params or hotwords:
         # Artifact evals decode with the LM-fused beam too (the trained
         # model and the scripts/build_arpa.py LM make a complete offline
         # deployment with no kenlm / no training checkpoint).
-        decoder = PrefixBeamSearchLMDecoder(lm_path, labels,
-                                            **beam_params)
+        decoder = PrefixBeamSearchLMDecoder(
+            lm_path, labels, hotwords=hotwords,
+            hotword_weight=args.hotword_weight, **beam_params)
     ds = ManifestDataset(args.test_manifest, ac, labels)
     if args.offline:
         if family != 'wav2letter':

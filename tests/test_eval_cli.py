@@ -182,3 +182,21 @@ def test_eval_cli_dump_and_error_analysis(trained_run, tmp_path, capsys):
     assert len(rep['worst_utterances']) == 3
     # alignment-based WER must equal the eval's corpus WER
     assert abs(rep['wer'] - result['wer']) < 1e-12
+
+
+def test_eval_cli_hotwords(trained_run, capsys):
+    """--hotwords implies beam decoding with contextual biasing (and is
+    refused on the device backend, where biasing does not exist)."""
+    run_dir, manifest = trained_run
+    import pytest
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--hotwords', 'aba,cab', '--hotword-weight', '1.5'])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 'wer' in result
+    with pytest.raises(SystemExit, match='host beam backend'):
+        test_cli.main(['--model-path', run_dir,
+                       '--test-manifest', manifest,
+                       '--hotwords', 'aba', '--beam-backend', 'device'])

@@ -176,9 +176,55 @@ def parse_beam_params(text: str) -> dict:
     return out
 
 
+class HotwordTrie:
+    """Contextual biasing weights for the prefix beam search (shallow
+    fusion with per-character partial credit, the FlexCTC-style scheme:
+    arXiv:2508.07315 §contextual biasing).
+
+    Boost-at-completion alone fails — a weakly-emitted hotword is pruned
+    off the beam before its final character. Instead every character that
+    extends a prefix of a hotword multiplies the path mass by
+    ``weight`` (partial credit), and the accumulated credit is cancelled
+    the moment the partial word diverges (handled by the unit delta going
+    negative) or completes as a non-hotword. Multi-word phrases are split
+    into their words.
+    """
+
+    def __init__(self, hotwords, weight: float = 2.0):
+        words = {w for phrase in hotwords for w in str(phrase).split() if w}
+        if not words:
+            raise ValueError('no hotwords given')
+        if weight <= 0:
+            raise ValueError(f'hotword weight must be > 0, got {weight}')
+        self.words = words
+        self.weight = float(weight)
+        self._prefixes = {w[:i] for w in words for i in range(1, len(w) + 1)}
+
+    def units(self, partial: str) -> int:
+        """Matched-character count: len(partial) while it can still become
+        a hotword, else 0."""
+        return len(partial) if partial in self._prefixes else 0
+
+    def extend(self, partial: str, c: str) -> float:
+        """Mass multiplier for extending the in-progress word by ``c``."""
+        return self.weight ** (self.units(partial + c) - self.units(partial))
+
+    def complete(self, word: str) -> float:
+        """Mass multiplier at a word boundary: keep the credit for a full
+        hotword, cancel it for anything else."""
+        return 1.0 if word in self.words \
+            else self.weight ** (-self.units(word))
+
+
+def _last_partial(prefix: str) -> str:
+    """Characters of the in-progress (post-last-space) word."""
+    return prefix.rsplit(' ', 1)[-1]
+
+
 def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
                        alpha: float = 0.3, beta: float = 5, prune: float = 0.001,
-                       end_char: str = '>', return_weights: bool = False):
+                       end_char: str = '>', return_weights: bool = False,
+                       hotwords=None, hotword_weight: float = 2.0):
     """CTC prefix beam search (probability space) with optional LM fusion.
 
     The classic algorithm (Hannun et al., 2014): maintain, per prefix, the
@@ -195,6 +241,9 @@ def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
         ctc: [T, L] array of per-step label *probabilities* (must be >= 0).
         labels: list of characters aligned with the L axis.
         lm: callable str -> probability, or None (constant 1).
+        hotwords: optional words/phrases to bias toward (HotwordTrie
+            partial-credit shallow fusion); None keeps exact reference
+            parity.
     Returns:
         The decoded string; with ``return_weights``, a (string, score) pair.
     """
@@ -205,6 +254,9 @@ def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
     assert ctc.shape[0] > 1, f'ctc length {ctc.shape[0]} too short'
     assert (ctc >= 0).all(), 'ctc must be probabilities (non-negative)'
     lm = (lambda _: 1) if lm is None else lm
+    trie = None if hotwords is None else (
+        hotwords if isinstance(hotwords, HotwordTrie)
+        else HotwordTrie(hotwords, hotword_weight))
     num_words = lambda s: len(_WORD_RE.findall(s))
     blank_char = labels[blank_index]
 
@@ -238,14 +290,22 @@ def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
                 if prefix and c == prefix[-1]:
                     # Repeat char: extend only from blank-terminated paths;
                     # same-char continuation stays on the shorter prefix.
-                    p_nb[t][extended] += p_c * p_b[t - 1][prefix]
+                    w_h = trie.extend(_last_partial(prefix), c) \
+                        if trie is not None else 1.0
+                    p_nb[t][extended] += w_h * p_c * p_b[t - 1][prefix]
                     p_nb[t][prefix] += p_c * p_nb[t - 1][prefix]
                 elif prefix.replace(' ', '') and c in (' ', end_char):
-                    # Word boundary: apply the language model.
+                    # Word boundary: apply the language model (and settle
+                    # the hotword partial credit: keep for a full match,
+                    # cancel otherwise).
                     lm_prob = lm(extended.strip(' ' + end_char)) ** alpha
+                    if trie is not None:
+                        lm_prob *= trie.complete(_last_partial(prefix))
                     p_nb[t][extended] += lm_prob * p_c * prev_total
                 else:
-                    p_nb[t][extended] += p_c * prev_total
+                    w_h = trie.extend(_last_partial(prefix), c) \
+                        if trie is not None else 1.0
+                    p_nb[t][extended] += w_h * p_c * prev_total
                 if extended not in beams:
                     # Re-merge mass of prefixes that fell off the beam.
                     p_b[t][extended] += step[blank_index] * (
@@ -275,12 +335,16 @@ class IncrementalPrefixBeam:
 
     def __init__(self, labels, blank_index: int = 0, lm=None, k: int = 5,
                  alpha: float = 0.3, beta: float = 5, prune: float = 0.001,
-                 end_char: str = '>'):
+                 end_char: str = '>', hotwords=None,
+                 hotword_weight: float = 2.0):
         self.labels = list(labels)
         self.blank_index = blank_index
         self.lm = (lambda _: 1) if lm is None else lm
         self.k, self.alpha, self.beta = k, alpha, beta
         self.prune, self.end_char = prune, end_char
+        self.trie = None if hotwords is None else (
+            hotwords if isinstance(hotwords, HotwordTrie)
+            else HotwordTrie(hotwords, hotword_weight))
         self._p_b = Counter({'': 1.0})
         self._p_nb = Counter({'': 0.0})
         self._beams = ['']
@@ -318,14 +382,21 @@ class IncrementalPrefixBeam:
                         continue
                     extended = prefix + c
                     if prefix and c == prefix[-1]:
-                        p_nb[extended] += p_c * p_b_prev[prefix]
+                        w_h = self.trie.extend(_last_partial(prefix), c) \
+                            if self.trie is not None else 1.0
+                        p_nb[extended] += w_h * p_c * p_b_prev[prefix]
                         p_nb[prefix] += p_c * p_nb_prev[prefix]
                     elif prefix.replace(' ', '') and c in (' ', end_char):
                         lm_prob = self.lm(
                             extended.strip(' ' + end_char)) ** self.alpha
+                        if self.trie is not None:
+                            lm_prob *= self.trie.complete(
+                                _last_partial(prefix))
                         p_nb[extended] += lm_prob * p_c * prev_total
                     else:
-                        p_nb[extended] += p_c * prev_total
+                        w_h = self.trie.extend(_last_partial(prefix), c) \
+                            if self.trie is not None else 1.0
+                        p_nb[extended] += w_h * p_c * prev_total
                     if extended not in self._beams:
                         p_b[extended] += step[blank_index] * (
                             p_b_prev[extended] + p_nb_prev[extended])
@@ -370,12 +441,24 @@ class PrefixBeamSearchLMDecoder(Decoder):
 
     def __init__(self, lm_path, labels, blank_index: int = 0, k: int = 5,
                  alpha: float = 0.3, beta: float = 5, prune: float = 1e-3,
-                 backend: str = 'auto'):
+                 backend: str = 'auto', hotwords=None,
+                 hotword_weight: float = 2.0):
         """``backend``: 'auto' uses the C++ search + native ARPA scorer when
         the native library is built (10-100x faster, exact same results —
         cross-checked in tests/test_beam_native.py), falling back to the
-        Python DP with kenlm/ArpaLM; 'python'/'native' force one."""
+        Python DP with kenlm/ArpaLM; 'python'/'native' force one.
+
+        ``hotwords``: contextual-biasing words/phrases (HotwordTrie
+        partial-credit fusion). Implemented in the Python DP only, so
+        setting it forces the python backend ('native' raises)."""
         super().__init__(labels, blank_index)
+        self.trie = None if hotwords is None else HotwordTrie(
+            hotwords, hotword_weight)
+        if self.trie is not None:
+            if backend == 'native':
+                raise ValueError('hotword biasing is not implemented in '
+                                 'the native backend; use backend="python"')
+            backend = 'python'
         self._native_lm = None
         self._use_native = False
         if backend in ('auto', 'native'):
@@ -418,7 +501,8 @@ class PrefixBeamSearchLMDecoder(Decoder):
                     self.k, self.alpha, self.beta, self.prune)
             return prefix_beam_search(probs, self.labels, self.blank_index,
                                       self.lm_weigh, self.k, self.alpha,
-                                      self.beta, self.prune)
+                                      self.beta, self.prune,
+                                      hotwords=self.trie)
         if probs.ndim == 3:
             return [self.decode(p) for p in probs]
         raise RuntimeError(

@@ -657,7 +657,12 @@ class StreamingBeamTranscriber:
 
     def __init__(self, session: StreamingSession, labels, lm_path: str = '',
                  k: int = 5, alpha: float = 0.3, beta: float = 5,
-                 prune: float = 0.001):
+                 prune: float = 0.001, hotwords=None,
+                 hotword_weight: float = 2.0):
+        """``hotwords``: contextual-biasing words/phrases applied inside
+        the incremental DP (decoding.HotwordTrie partial-credit fusion) —
+        per-stream vocabularies bias live transcription without
+        retraining."""
         from ..decoding.decoder import IncrementalPrefixBeam
         lm = None
         if lm_path:
@@ -669,7 +674,8 @@ class StreamingBeamTranscriber:
         self._emits_probs = getattr(session.m, 'emits_probs', False)
         self._beams = [IncrementalPrefixBeam(list(labels), lm=lm, k=k,
                                              alpha=alpha, beta=beta,
-                                             prune=prune)
+                                             prune=prune, hotwords=hotwords,
+                                             hotword_weight=hotword_weight)
                        for _ in range(session.B)]
 
     def _advance(self, out, valid=None):
