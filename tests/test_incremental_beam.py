@@ -85,6 +85,42 @@ def test_streaming_beam_transcriber_matches_offline_beam():
     assert final == oneshot
 
 
+def test_streaming_beam_transcriber_hotwords():
+    """Hotword biasing rides the streaming transcriber: chunked biased
+    decode == one-shot biased beam over the same streamed probabilities."""
+    from wav2letter_pytorch_tpu.data.features import (AudioConfig,
+                                                      SpectrogramFrontend)
+    from wav2letter_pytorch_tpu.serving import (StreamingBeamTranscriber,
+                                                StreamingWav2Letter)
+    from tests.test_streaming import (N_MELS, SMALL_LAYERS, _build,
+                                      _run_stream)
+
+    model, variables, frontend = _build(SMALL_LAYERS)
+    labels = ['_', 'a', 'b', 'c', 'd', 'e', ' ']
+    stats = (np.zeros(N_MELS, np.float32), np.ones(N_MELS, np.float32))
+    fe = SpectrogramFrontend(AudioConfig(), n_mels=N_MELS, dither=0.0,
+                             norm_stats=stats)
+    sw = StreamingWav2Letter(SMALL_LAYERS, len(labels), variables, fe,
+                             chunk_frames=16, norm='precomputed',
+                             norm_stats=stats)
+    L = sw.prime_samples + 2 * sw.chunk_samples + 901
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal((1, L)) * 0.3).astype(np.float32)
+
+    params = dict(k=4, alpha=0.0, beta=0, prune=0.002)
+    hw = dict(hotwords=['bad', 'ace'], hotword_weight=2.5)
+    emitted, total_valid = _run_stream(sw, audio, np.asarray([L]))
+    oneshot = prefix_beam_search(np.exp(emitted[0, :int(total_valid[0])]),
+                                 labels, **params, **hw)
+
+    sess = sw.start(1)
+    tr = StreamingBeamTranscriber(sess, labels, **params, **hw)
+    for s in range(0, L, 2048):
+        tr.feed(audio[:, s:s + 2048])
+    final = tr.finish(np.asarray([L]))
+    assert final == [oneshot]
+
+
 def test_hour_scale_stream_does_not_underflow():
     """The raw-probability DP is exactly 0.0 after ~6k frames without the
     ranking-preserving renormalization; a long stream must keep decoding
