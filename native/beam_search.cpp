@@ -111,11 +111,19 @@ extern "C" {
 
 // Returns the decoded length (codepoints written to `out`, capped at
 // out_cap) and the ranked score via *out_score. `lm` may be null.
+//
+// Hotword contextual biasing (decoder.py::HotwordTrie parity): `hotwords`
+// is `n_hotwords` codepoint runs delimited by `hw_offsets` (n+1 entries);
+// every character extending a prefix of a hotword multiplies the path
+// mass by `hotword_weight` (partial credit), cancelled on divergence or
+// non-hotword completion. n_hotwords == 0 disables (bit-exact with the
+// unbiased search).
 int64_t w2l_prefix_beam_search(
     const float* ctc, int64_t T, int64_t L, const uint32_t* labels,
     int64_t blank_index, void* lm, int64_t k, double alpha, double beta,
-    double prune, uint32_t end_char_u, uint32_t* out, int64_t out_cap,
-    double* out_score) {
+    double prune, uint32_t end_char_u, const uint32_t* hotwords,
+    const int64_t* hw_offsets, int64_t n_hotwords, double hotword_weight,
+    uint32_t* out, int64_t out_cap, double* out_score) {
   const char32_t end_char = (char32_t)end_char_u;
   const char32_t blank_char = (char32_t)labels[blank_index];
 
@@ -123,6 +131,34 @@ int64_t w2l_prefix_beam_search(
     if (!lm) return 1.0;
     std::string utf8 = to_utf8(strip(prefix, end_char));
     return std::pow(10.0, w2l_arpa_score(lm, utf8.c_str(), 1, 1));
+  };
+
+  const bool bias = n_hotwords > 0;
+  std::unordered_set<U32Str, U32Hash> hw_words, hw_prefixes;
+  for (int64_t i = 0; i < n_hotwords; ++i) {
+    U32Str w;
+    for (int64_t j = hw_offsets[i]; j < hw_offsets[i + 1]; ++j)
+      w.push_back((char32_t)hotwords[j]);
+    hw_words.insert(w);
+    for (size_t l = 1; l <= w.size(); ++l) hw_prefixes.insert(w.substr(0, l));
+  }
+  auto units = [&](const U32Str& partial) -> int {
+    return hw_prefixes.count(partial) ? (int)partial.size() : 0;
+  };
+  auto last_partial = [&](const U32Str& prefix) -> U32Str {
+    size_t pos = prefix.rfind(U' ');
+    return pos == U32Str::npos ? prefix : prefix.substr(pos + 1);
+  };
+  auto extend_w = [&](const U32Str& prefix, char32_t c) -> double {
+    U32Str partial = last_partial(prefix);
+    U32Str grown = partial;
+    grown.push_back(c);
+    return std::pow(hotword_weight, units(grown) - units(partial));
+  };
+  auto complete_w = [&](const U32Str& prefix) -> double {
+    U32Str word = last_partial(prefix);
+    return hw_words.count(word) ? 1.0
+                                : std::pow(hotword_weight, -units(word));
   };
 
   Map<double> pb_prev, pnb_prev;
@@ -161,13 +197,16 @@ int64_t w2l_prefix_beam_search(
         U32Str extended = prefix;
         extended.push_back(c);
         if (!prefix.empty() && c == prefix.back()) {
-          pnb[extended] += p_c * get(pb_prev, prefix);
+          const double w_h = bias ? extend_w(prefix, c) : 1.0;
+          pnb[extended] += w_h * p_c * get(pb_prev, prefix);
           pnb[prefix] += p_c * get(pnb_prev, prefix);
         } else if (has_non_space(prefix) && (c == U' ' || c == end_char)) {
-          pnb[extended] +=
-              std::pow(lm_weight(extended), alpha) * p_c * prev_total;
+          double lmw = std::pow(lm_weight(extended), alpha);
+          if (bias) lmw *= complete_w(prefix);
+          pnb[extended] += lmw * p_c * prev_total;
         } else {
-          pnb[extended] += p_c * prev_total;
+          const double w_h = bias ? extend_w(prefix, c) : 1.0;
+          pnb[extended] += w_h * p_c * prev_total;
         }
         if (!in_beam.count(extended)) {
           pb[extended] += step[blank_index] *

@@ -113,12 +113,36 @@ def test_incremental_matches_one_shot_with_hotwords():
     assert inc.result() == one
 
 
-def test_decoder_level_hotwords():
+@pytest.mark.parametrize('backend', ['python', 'native'])
+def test_decoder_level_hotwords(backend):
+    from wav2letter_pytorch_tpu.decoding.beam_native import native_available
+    if backend == 'native' and not native_available():
+        pytest.skip('native library not built')
     probs = _emit('put ', strong=0.5, rest_on=['b', None, None, None])
     dec = PrefixBeamSearchLMDecoder('', LABELS, k=8, hotwords=['but'],
-                                    hotword_weight=3.0)
+                                    hotword_weight=3.0, backend=backend)
     assert dec.decode(probs).strip() == 'but'
-    assert not dec._use_native  # biasing forces the python DP
-    with pytest.raises(ValueError):
-        PrefixBeamSearchLMDecoder('', LABELS, backend='native',
-                                  hotwords=['but'])
+
+
+def test_native_hotword_parity_random():
+    """C++ biased search == Python biased search, string- and score-exact
+    across random inputs and weights."""
+    from wav2letter_pytorch_tpu.decoding.beam_native import (
+        native_available, prefix_beam_search_native)
+    if not native_available():
+        pytest.skip('native library not built')
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        probs = rng.dirichlet(np.ones(len(LABELS)) * 0.4,
+                              size=rng.integers(8, 60)).astype(np.float32)
+        hw = list(rng.choice(['but', 'cab', 'dab', 'up', 'a'],
+                             size=rng.integers(1, 3), replace=False))
+        w = float(rng.uniform(1.2, 4.0))
+        k = int(rng.integers(2, 8))
+        py, s_py = prefix_beam_search(probs, LABELS, k=k, hotwords=hw,
+                                      hotword_weight=w, return_weights=True)
+        nat, s_nat = prefix_beam_search_native(
+            probs, LABELS, k=k, hotwords=hw, hotword_weight=w,
+            return_weights=True)
+        assert nat == py, (trial, hw, w, k)
+        assert abs(s_nat - s_py) < 1e-9 * max(s_py, 1e-30), (trial, hw, w)

@@ -449,16 +449,11 @@ class PrefixBeamSearchLMDecoder(Decoder):
         Python DP with kenlm/ArpaLM; 'python'/'native' force one.
 
         ``hotwords``: contextual-biasing words/phrases (HotwordTrie
-        partial-credit fusion). Implemented in the Python DP only, so
-        setting it forces the python backend ('native' raises)."""
+        partial-credit fusion), implemented identically in the Python DP
+        and the C++ search (cross-checked in tests/test_hotwords.py)."""
         super().__init__(labels, blank_index)
         self.trie = None if hotwords is None else HotwordTrie(
             hotwords, hotword_weight)
-        if self.trie is not None:
-            if backend == 'native':
-                raise ValueError('hotword biasing is not implemented in '
-                                 'the native backend; use backend="python"')
-            backend = 'python'
         self._native_lm = None
         self._use_native = False
         if backend in ('auto', 'native'):
@@ -498,7 +493,8 @@ class PrefixBeamSearchLMDecoder(Decoder):
                 from .beam_native import prefix_beam_search_native
                 return prefix_beam_search_native(
                     probs, self.labels, self.blank_index, self._native_lm,
-                    self.k, self.alpha, self.beta, self.prune)
+                    self.k, self.alpha, self.beta, self.prune,
+                    hotwords=self.trie)
             return prefix_beam_search(probs, self.labels, self.blank_index,
                                       self.lm_weigh, self.k, self.alpha,
                                       self.beta, self.prune,
