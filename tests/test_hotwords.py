@@ -146,3 +146,17 @@ def test_native_hotword_parity_random():
             return_weights=True)
         assert nat == py, (trial, hw, w, k)
         assert abs(s_nat - s_py) < 1e-9 * max(s_py, 1e-30), (trial, hw, w)
+
+
+def test_return_nbest():
+    """n-best surface: ranked (hypothesis, score) pairs, head == 1-best."""
+    rng = np.random.default_rng(31)
+    probs = rng.dirichlet(np.ones(len(LABELS)) * 0.5, size=30)
+    best, s_best = prefix_beam_search(probs, LABELS, k=6,
+                                      return_weights=True)
+    nbest = prefix_beam_search(probs, LABELS, k=6, return_nbest=4)
+    assert len(nbest) == 4
+    assert nbest[0][0] == best and abs(nbest[0][1] - s_best) < 1e-12
+    assert len({h for h, _ in nbest}) == 4       # distinct hypotheses
+    ranks = [s for _, s in nbest]
+    assert ranks == sorted(ranks, reverse=True)  # rank-ordered

@@ -224,7 +224,8 @@ def _last_partial(prefix: str) -> str:
 def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
                        alpha: float = 0.3, beta: float = 5, prune: float = 0.001,
                        end_char: str = '>', return_weights: bool = False,
-                       hotwords=None, hotword_weight: float = 2.0):
+                       hotwords=None, hotword_weight: float = 2.0,
+                       return_nbest: int = 0):
     """CTC prefix beam search (probability space) with optional LM fusion.
 
     The classic algorithm (Hannun et al., 2014): maintain, per prefix, the
@@ -319,6 +320,12 @@ def prefix_beam_search(ctc, labels, blank_index: int = 0, lm=None, k: int = 5,
     if not beams:
         beams = ['']
     best = beams[0]
+    if return_nbest:
+        # (hypothesis, ranked score) pairs, best first — rescoring surface
+        # (the final beams are already rank-sorted).
+        return [(b, (scores[b] if scores else 1.0)
+                 * (num_words(b) + 1) ** beta)
+                for b in beams[:return_nbest]]
     if return_weights:
         return best, scores[best] * (num_words(best) + 1) ** beta
     return best
