@@ -59,6 +59,11 @@ def main(argv=None):
     parser.add_argument('--no-lm', action='store_true',
                         help='greedy decode even if the artifact bundles '
                              'an LM')
+    parser.add_argument('--hotwords', default='',
+                        help='comma-separated words/phrases to bias toward '
+                             'inside the beam search (implies beam '
+                             'decoding; decoding.HotwordTrie)')
+    parser.add_argument('--hotword-weight', type=float, default=2.0)
     parser.add_argument('--word-timings', action='store_true',
                         help='print (word, start_s, end_s) lines to stderr '
                              'and include them in --json-out (greedy '
@@ -147,13 +152,16 @@ def main(argv=None):
         # artifact bundles its own LM + decode settings
         lm_path = os.path.join(args.artifact, meta['lm']['file'])
         beam_params = dict(meta['lm'].get('beam_params') or {})
-    if lm_path or args.beam_search_params:
+    hotwords = [w for w in args.hotwords.split(',') if w.strip()] or None
+    if lm_path or args.beam_search_params or hotwords:
         from wav2letter_pytorch_tpu.decoding import PrefixBeamSearchLMDecoder
         from wav2letter_pytorch_tpu.decoding.decoder import parse_beam_params
         from wav2letter_pytorch_tpu.serving.longform import decode_segmented
         beam_params = dict(beam_params or {},
                            **parse_beam_params(args.beam_search_params))
         beam = PrefixBeamSearchLMDecoder(lm_path, meta['labels'],
+                                         hotwords=hotwords,
+                                         hotword_weight=args.hotword_weight,
                                          **beam_params)
         t1 = time.perf_counter()
         # Hour-scale outputs beam-decode per silence-bounded segment: the

@@ -264,3 +264,38 @@ def test_transcribe_long_cli_word_timings(small, tmp_path):
         assert 0 <= start <= end <= secs + 0.1     # inside the recording
         assert start >= prev_start                 # monotone word order
         prev_start = start
+
+
+def test_transcribe_long_cli_hotwords(small, tmp_path):
+    """--hotwords triggers biased beam decoding on the long-form CLI."""
+    import importlib.util
+    import json as _json
+    import os
+
+    from wav2letter_pytorch_tpu.data.audio_io import write_wav
+    from wav2letter_pytorch_tpu.serving import export_serving
+
+    _, variables, frontend = small
+    art = export_serving(str(tmp_path / 'art'), SMALL_LAYERS, 7, variables,
+                         labels=list('_abcde '),
+                         audio_conf={'sample_rate': 16000,
+                                     'window_size': 0.02,
+                                     'window_stride': 0.01,
+                                     'window': 'hamming'})
+    audio = _audio(48000, seed=3)
+    wav = str(tmp_path / 'in.wav')
+    write_wav(wav, audio, 16000)
+    spec = importlib.util.spec_from_file_location(
+        'transcribe_long2',
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     'scripts', 'transcribe_long.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / 'r.json')
+    rc = mod.main(['--artifact', art, '--audio', wav,
+                   '--hotwords', 'abba,dad', '--chunk-frames', '40',
+                   '--json-out', out])
+    assert rc == 0
+    with open(out) as f:
+        rec = _json.load(f)
+    assert rec['decode'] == 'beam_lm'
