@@ -163,7 +163,7 @@ def render_letter(ch, n, sr, speaker, f0_curve, rng):
     raise ValueError(f'no acoustics for letter {ch!r}')
 
 
-def render_utterance(text, sr, rng):
+def render_utterance(text, sr, rng, snr_range=(18.0, 38.0)):
     speaker = {
         'f0': float(rng.uniform(85, 230)),
         'formant_scale': float(rng.uniform(0.88, 1.15)),
@@ -202,7 +202,7 @@ def render_utterance(text, sr, rng):
     # Loudness normalize, then add noise at a random SNR.
     rms = np.sqrt(np.mean(out ** 2)) + 1e-9
     out = out / rms * 0.08 * speaker['gain']
-    snr_db = rng.uniform(18, 38)
+    snr_db = rng.uniform(*snr_range)
     noise_rms = 0.08 * speaker['gain'] * 10 ** (-snr_db / 20)
     out = out + noise_rms * rng.standard_normal(total)
     return np.clip(out, -0.99, 0.99).astype(np.float32)
@@ -228,7 +228,8 @@ def write_utt(path, audio, sr, use_wav):
         f.write(data)
 
 
-def build_split(root, split, n, sr, seed, use_wav):
+def build_split(root, split, n, sr, seed, use_wav,
+                snr_range=(18.0, 38.0)):
     import pandas as pd
     rng = np.random.default_rng(seed)
     d = os.path.join(root, split)
@@ -237,7 +238,7 @@ def build_split(root, split, n, sr, seed, use_wav):
     ext = 'wav' if use_wav else 'flac'
     for i in range(n):
         text = make_sentence(rng)
-        audio = render_utterance(text, sr, rng)
+        audio = render_utterance(text, sr, rng, snr_range=snr_range)
         path = os.path.abspath(os.path.join(d, f'utt{i}.{ext}'))
         write_utt(path, audio, sr, use_wav)
         rows.append((path, text))
@@ -259,13 +260,22 @@ def main(argv=None):
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--wav', action='store_true',
                         help='write WAV instead of FLAC')
+    parser.add_argument('--splits', default='train,val,test',
+                        help='which splits to build (comma list)')
+    parser.add_argument('--snr-db', default='18,38',
+                        help='per-utterance SNR range in dB, "lo,hi" — '
+                             'e.g. 0,10 builds a noise-robustness eval set')
     args = parser.parse_args(argv)
+    lo, hi = (float(x) for x in args.snr_db.split(','))
+    wanted = {x.strip() for x in args.splits.split(',') if x.strip()}
     manifests = {}
     for split, n, seed in (('train', args.n_train, args.seed),
                            ('val', args.n_val, args.seed + 1),
                            ('test', args.n_test, args.seed + 2)):
+        if split not in wanted:
+            continue
         manifests[split] = build_split(args.root, split, n, args.sample_rate,
-                                       seed, args.wav)
+                                       seed, args.wav, snr_range=(lo, hi))
         print(f'{split}: {manifests[split]}')
     return 0
 
