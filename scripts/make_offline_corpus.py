@@ -76,6 +76,42 @@ picture again change off play spell air away animal house point page letter
 mother answer found study still learn should america world""".split()
 
 
+# ---------------------------------------------------------------------------
+# Hebrew (modern Israeli pronunciation, consonantal ktiv-haser orthography).
+# Each Hebrew letter borrows the closest acoustic spec above; sounds English
+# lacks get their own pseudo-letter entries. Final forms (ך ם ן ץ) share the
+# base letter's acoustics — telling them apart is a genuinely positional task
+# (they occur only word-finally) — except ף, which is /f/ (word-final פ
+# spirantizes in Modern Hebrew) and so is acoustically distinct. Exercises
+# the reference's Hebrew surface end-to-end: hebrew label set + final-form
+# handling (/root/reference/data/label_sets.py:5-9,
+# /root/reference/data/language_specific_tools.py:1-21).
+# ---------------------------------------------------------------------------
+UNVOICED_FRIC['š'] = 2800.0    # ש /ʃ/
+UNVOICED_FRIC['ţ'] = 5000.0    # צ ץ /ts/
+PLOSIVES['ŧ'] = (3000, False)  # ת /t/ (burst distinct from ט)
+
+HEBREW_TO_PHONE = {
+    'א': 'a', 'ב': 'b', 'ג': 'g', 'ד': 'd', 'ה': 'h', 'ו': 'v', 'ז': 'z',
+    'ח': 'x', 'ט': 't', 'י': 'y', 'כ': 'k', 'ל': 'l', 'מ': 'm', 'נ': 'n',
+    'ס': 's', 'ע': 'o', 'פ': 'p', 'צ': 'ţ', 'ק': 'q', 'ר': 'r', 'ש': 'š',
+    'ת': 'ŧ', 'ך': 'k', 'ם': 'm', 'ן': 'n', 'ף': 'f', 'ץ': 'ţ', ' ': ' ',
+}
+
+HEBREW_WORDS = """שלום מה מי אני אתה הוא היא אנחנו הם בית ספר מים אור יום
+לילה שנה עיר דרך ילד ילדה אבא אמא טוב גדול קטן חדש ישן אחד שלוש ארבע חמש שש
+שבע תשע עשר איש אשה ראש יד רגל עין לב שמש ירח כוכב ארץ שמים עץ פרח צפור דג
+כלב חתול סוס לחם חלב דבש מלך מלכה עם שפה עבודה זמן מקום דבר קול שם בן בת אח
+אחות משפחה חבר שיר ספור תפוח ענב רמון זית שמן יין כסף זהב אבן הר ים נהר גשם
+רוח אש אדמה שדה גן דלת חלון שלחן כסא מטה אהבה שמחה אמת שלם חי רץ הלך בא יצא
+עלה ירד ראה שמע אמר כתב קרא למד אכל שתה ישב עמד נתן לקח""".split()
+
+LANG_TABLES = {
+    'english': (WORDS, None),
+    'hebrew': (HEBREW_WORDS, HEBREW_TO_PHONE),
+}
+
+
 def _formant_gain(freqs, formants, scale, tilt_db_oct=-6.0):
     """|H(f)| of a cascade of resonance peaks plus spectral tilt."""
     gain = np.zeros_like(freqs)
@@ -163,7 +199,7 @@ def render_letter(ch, n, sr, speaker, f0_curve, rng):
     raise ValueError(f'no acoustics for letter {ch!r}')
 
 
-def render_utterance(text, sr, rng, snr_range=(18.0, 38.0)):
+def render_utterance(text, sr, rng, snr_range=(18.0, 38.0), phone_map=None):
     speaker = {
         'f0': float(rng.uniform(85, 230)),
         'formant_scale': float(rng.uniform(0.88, 1.15)),
@@ -188,7 +224,8 @@ def render_utterance(text, sr, rng, snr_range=(18.0, 38.0)):
     xfade = int(0.010 * sr)
     out = np.zeros(total)
     for ch, n in zip(text, lens):
-        seg = render_letter(ch, n, sr, speaker, f0_all[pos:pos + n], rng)
+        phone = phone_map[ch] if phone_map else ch
+        seg = render_letter(phone, n, sr, speaker, f0_all[pos:pos + n], rng)
         # crossfade into place (coarticulation-ish blending at boundaries)
         a, b = pos, pos + n
         if a >= xfade and n > 2 * xfade:
@@ -208,9 +245,9 @@ def render_utterance(text, sr, rng, snr_range=(18.0, 38.0)):
     return np.clip(out, -0.99, 0.99).astype(np.float32)
 
 
-def make_sentence(rng):
+def make_sentence(rng, words=WORDS):
     n = int(rng.integers(3, 9))
-    return ' '.join(rng.choice(WORDS) for _ in range(n))
+    return ' '.join(rng.choice(words) for _ in range(n))
 
 
 def write_utt(path, audio, sr, use_wav):
@@ -229,16 +266,18 @@ def write_utt(path, audio, sr, use_wav):
 
 
 def build_split(root, split, n, sr, seed, use_wav,
-                snr_range=(18.0, 38.0)):
+                snr_range=(18.0, 38.0), lang='english'):
     import pandas as pd
     rng = np.random.default_rng(seed)
     d = os.path.join(root, split)
     os.makedirs(d, exist_ok=True)
     rows = []
     ext = 'wav' if use_wav else 'flac'
+    words, phone_map = LANG_TABLES[lang]
     for i in range(n):
-        text = make_sentence(rng)
-        audio = render_utterance(text, sr, rng, snr_range=snr_range)
+        text = make_sentence(rng, words)
+        audio = render_utterance(text, sr, rng, snr_range=snr_range,
+                                 phone_map=phone_map)
         path = os.path.abspath(os.path.join(d, f'utt{i}.{ext}'))
         write_utt(path, audio, sr, use_wav)
         rows.append((path, text))
@@ -265,6 +304,9 @@ def main(argv=None):
     parser.add_argument('--snr-db', default='18,38',
                         help='per-utterance SNR range in dB, "lo,hi" — '
                              'e.g. 0,10 builds a noise-robustness eval set')
+    parser.add_argument('--lang', default='english', choices=sorted(LANG_TABLES),
+                        help='transcript language (hebrew exercises the '
+                             'hebrew label set incl. final letter forms)')
     args = parser.parse_args(argv)
     lo, hi = (float(x) for x in args.snr_db.split(','))
     wanted = {x.strip() for x in args.splits.split(',') if x.strip()}
@@ -275,7 +317,8 @@ def main(argv=None):
         if split not in wanted:
             continue
         manifests[split] = build_split(args.root, split, n, args.sample_rate,
-                                       seed, args.wav, snr_range=(lo, hi))
+                                       seed, args.wav, snr_range=(lo, hi),
+                                       lang=args.lang)
         print(f'{split}: {manifests[split]}')
     return 0
 

@@ -118,6 +118,14 @@ def main():
         extra = ck.load_extra()
         print(f'WORKER_PREEMPT_STEP {step} preempted='
               f'{extra.get("preempted")}', flush=True)
+        # Exit in lockstep: process 0 hosts the coordinator, and orbax's
+        # CheckpointManager close/atexit path runs collective barriers. If
+        # p0 exits while p1 is still inside one (exit skew grows under host
+        # load), p1 dies with a distributed error — flaky under a full-suite
+        # run. A final agreement barrier makes exit ordering safe.
+        if args.num_processes > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices('preempt_test_done')
         return
     device_batch = shard_batch(
         {k: v for k, v in batch.items() if not isinstance(v, list)},

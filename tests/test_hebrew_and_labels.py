@@ -85,3 +85,39 @@ def test_hebrew_training_path(tmp_path):
     assert rc == 0
     metrics = (tmp_path / 'run' / 'metrics.csv').read_text()
     assert 'train_wer' in metrics
+
+
+def test_hebrew_corpus_generator(tmp_path):
+    """scripts/make_offline_corpus --lang hebrew: every vocabulary word is
+    writable in the 27-letter set, every letter renders, final forms are
+    present (so the positional final-vs-normal task is actually exercised),
+    and the written corpus encodes cleanly under hebrew labels."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.make_offline_corpus import (HEBREW_TO_PHONE, HEBREW_WORDS,
+                                             build_split)
+    from wav2letter_pytorch_tpu.data.dataset import ManifestDataset
+
+    letters = set(hebrew_labels) | {' '}
+    assert all(set(w) <= letters for w in HEBREW_WORDS)
+    assert all(ch in HEBREW_TO_PHONE for w in HEBREW_WORDS for ch in w)
+    finals = set('םןךףץ')
+    assert any(w[-1] in finals for w in HEBREW_WORDS)
+    # Final forms only ever appear word-finally (valid orthography).
+    assert all(ch not in finals for w in HEBREW_WORDS for ch in w[:-1])
+
+    manifest = build_split(str(tmp_path), 'train', 2, 16000, seed=0,
+                           use_wav=True, lang='hebrew')
+    conf = {'sample_rate': 16000, 'window': 'hamming',
+            'window_size': 0.02, 'window_stride': 0.01}
+    ds = ManifestDataset(manifest, conf, hebrew_labels)
+    blank = hebrew_labels.index('_')
+    for i in range(len(ds)):
+        audio, target, _, text = ds[i]
+        assert len(audio) > 1000 and np.isfinite(audio).all()
+        # Round-trip: every transcript char encodes (nothing dropped as
+        # unknown) and decodes back to the original Hebrew text.
+        assert ''.join(hebrew_labels[t] for t in target) == text
+        assert blank not in list(target)
