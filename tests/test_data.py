@@ -131,6 +131,23 @@ def test_bucket_loader_max_duration(corpus):
     assert (batch['audio_lengths'] <= batch['audio'].shape[1]).all()
 
 
+def test_bucket_top_edge_tracks_data_not_cap(corpus):
+    """max_duration is a cap, not a floor: with a corpus far shorter than
+    the cap, batches must pad to the observed max (+ rounding slack), not
+    to the cap — padding to the cap silently multiplied train-step compute
+    by cap/data-max (4.5x observed on a 3.5s-max corpus with the default
+    16.7s cap)."""
+    manifest, _ = corpus
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    data_max = max(ds.sample_meta(i)[0] for i in range(len(ds)))
+    loader = BucketBatchLoader(ds, batch_size=5, num_buckets=1,
+                               max_duration=16.7, shuffle=False, prefetch=0,
+                               frame_hop=160)
+    assert loader.bucket_edges[-1] < data_max + 8 * 160 + 160
+    (batch,) = list(loader)
+    assert batch['audio'].shape[1] == loader.bucket_edges[-1]
+
+
 def test_loader_sharding_disjoint_and_complete(corpus):
     """Multi-host sharding: two shards cover disjoint samples whose union is
     the full dataset (DistributedSampler-equivalent)."""
