@@ -43,11 +43,21 @@ def main(argv=None):
     parser.add_argument('--batch-size', type=int, default=16)
     parser.add_argument('--lr', type=float, default=2e-3)
     parser.add_argument('--mid-layers', type=int, default=20)
+    parser.add_argument('--labels', default='english_lowercase',
+                        help='label set (e.g. hebrew for a --lang hebrew '
+                             'corpus from make_offline_corpus.py)')
+    parser.add_argument('--cpu', action='store_true',
+                        help='pin the whole pipeline (train, eval, export) '
+                             'to the CPU backend in-process')
     parser.add_argument('--skip-train', action='store_true')
     parser.add_argument('--out', default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         'benchmarks', 'full_depth_run.json'))
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -59,6 +69,7 @@ def main(argv=None):
         'pipeline': 'make_offline_corpus (FLAC) -> train.py -> test.py '
                     '-> serving artifact',
         'model': f'wav2letter mid_layers={args.mid_layers}',
+        'labels': args.labels,
         'optimizer': f'novograd lr={args.lr}', 'augment': 'spec_augment',
         'epochs': args.epochs, 'batch_size': args.batch_size,
     }
@@ -71,6 +82,7 @@ def main(argv=None):
         'optimizer=novograd', f'model.optimizer.lr={args.lr}',
         'model.scheduler.gamma=0.985',
         f'model.mid_layers={args.mid_layers}',
+        f'model.labels={args.labels}',
         'data.augment={spec_augment: {freq_masks: 2, time_masks: 2, '
         'freq_width: 10, time_width: 20}}',
         f'trainer.max_epochs={args.epochs}',
@@ -108,9 +120,17 @@ def main(argv=None):
     export_main(['--model-path', args.run_dir, '--out', artifact,
                  '--int8', '--cmvn-manifest', manifests['train'],
                  '--cmvn-limit', '1000', '--calibrate'])
-    results['test_artifact_offline_int8full'] = run_test_cli(
-        ['--artifact', artifact, '--test-manifest', manifests['test'],
-         '--offline', '--int8-full'])
+    if args.cpu:
+        # int8-full emulation is ~100x slower than f32 off-chip (the MXU
+        # int8 path has no CPU fast path); record the f32 artifact eval
+        # instead and leave int8-full to an on-chip run.
+        results['test_artifact_offline'] = run_test_cli(
+            ['--artifact', artifact, '--test-manifest', manifests['test'],
+             '--offline'])
+    else:
+        results['test_artifact_offline_int8full'] = run_test_cli(
+            ['--artifact', artifact, '--test-manifest', manifests['test'],
+             '--offline', '--int8-full'])
 
     with open(args.out, 'w') as f:
         json.dump(results, f, indent=2)
