@@ -362,9 +362,11 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     budget with every batch applied exactly once."""
     import os
     import signal
-    import threading
+
+    import pytest
 
     from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    from wav2letter_pytorch_tpu.training.logging import MetricLogger
     import train as train_cli
 
     manifest = _make_corpus(tmp_path, n=6, seed=6)
@@ -379,14 +381,24 @@ def test_preemption_checkpoint_and_resume(tmp_path):
         'trainer.max_epochs=40', 'trainer.checkpoint.every_n_epochs=40',
         f'trainer.default_root_dir={run_dir}',
     ]
-    # Fire SIGTERM shortly after training starts compiling/stepping; the
-    # handler runs on the main thread at the next bytecode boundary.
-    timer = threading.Timer(6.0, os.kill, (os.getpid(), signal.SIGTERM))
-    timer.start()
-    try:
+    # Fire the real SIGTERM right after the first train-step metric is
+    # logged (sub_step == 1 always logs): event-driven, so the preemption
+    # lands after >=1 applied step and before completion regardless of
+    # host load — a wall-clock timer here flaked whenever compile outran
+    # or undershot it.
+    fired = []
+    orig_log = MetricLogger.log
+
+    def log_then_preempt(self, step, metrics):
+        orig_log(self, step, metrics)
+        if 'train_loss' in metrics and not fired:
+            fired.append(step)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(MetricLogger, 'log', log_then_preempt)
         assert train_cli.main(base) == 0
-    finally:
-        timer.cancel()
+    assert fired, 'no train-step metric was ever logged'
     ck = Checkpointer(f'{run_dir}/checkpoints')
     step = ck.latest_step()
     assert step is not None and step < 40 * 3   # stopped early, state saved
