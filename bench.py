@@ -38,9 +38,39 @@ WARMUP = 2
 STEPS = 8
 
 
+def _backend_or_die(timeout_s: int = 600):
+    """Initialize the ambient JAX backend with a watchdog.
+
+    The device tunnel can wedge (observed for hours): any backend init
+    then blocks forever inside make_c_api_client with ~zero CPU. A healthy
+    handshake takes seconds, so if ``jax.devices()`` hasn't returned after
+    ``timeout_s`` the bench emits its one JSON line with an ``error`` field
+    and exits — a parseable datapoint instead of an eternal hang.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                'metric': 'train_step_throughput_w2l20_8s',
+                'value': None, 'unit': 'utt/s/chip', 'vs_baseline': None,
+                'error': f'backend init exceeded {timeout_s}s '
+                         '(device tunnel wedged)',
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+    jax.devices()
+    done.set()
+
+
 def main():
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+    _backend_or_die()
     import jax
 
     # Gate: compiled Pallas kernel parity on this chip (CI runs them in
