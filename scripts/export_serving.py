@@ -47,7 +47,13 @@ def main(argv=None):
     parser.add_argument('--lm-beam-params', default='',
                         help='k=,alpha=,beta=,prune= recorded with the '
                              'bundled LM as the default decode settings')
+    parser.add_argument('--cpu', action='store_true',
+                        help='pin the export (weight load + calibration '
+                             'forward passes) to the CPU backend in-process')
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     import numpy as np
 

@@ -124,8 +124,15 @@ def main(argv=None):
                         help='average the weights of the newest K '
                              'checkpoints before evaluating (checkpoint '
                              'averaging; --model-path mode only)')
+    parser.add_argument('--cpu', action='store_true',
+                        help='pin evaluation to the CPU backend in-process '
+                             '(plain env vars do not reliably override an '
+                             'ambient accelerator plugin)')
     parser.add_argument('overrides', nargs='*', default=[])
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
