@@ -107,12 +107,13 @@ def main(argv=None):
                         help="'host': serial per-utterance search (exact "
                              "in-loop LM fusion; C++/Python). 'device': "
                              "batched on-accelerator search (decoding/"
-                             "beam_device.py); with --lm-path the n-best "
-                             "list is LM-rescored on host")
+                             "beam_device.py) with the same exact in-loop "
+                             "LM/hotword fusion")
     parser.add_argument('--hotwords', default='',
                         help='comma-separated words/phrases to bias toward '
                              '(contextual biasing inside the beam search; '
-                             'implies beam decoding; host backend only)')
+                             'implies beam decoding; host or device '
+                             'backend)')
     parser.add_argument('--hotword-weight', type=float, default=2.0,
                         help='per-matched-character mass multiplier for '
                              '--hotwords (decoding.HotwordTrie)')
@@ -181,12 +182,12 @@ def main(argv=None):
 
     beam_params = parse_beam_params(args.beam_search_params)
     hotwords = [w for w in args.hotwords.split(',') if w.strip()] or None
-    if hotwords and args.beam_backend == 'device':
-        raise SystemExit('--hotwords needs the host beam backend '
-                         '(biasing runs inside the python DP)')
-    if (args.lm_path or beam_params) and args.beam_backend == 'device':
+    if (args.lm_path or beam_params or hotwords) \
+            and args.beam_backend == 'device':
         from wav2letter_pytorch_tpu.decoding import DeviceBeamDecoder
         decoder = DeviceBeamDecoder(labels, lm_path=args.lm_path,
+                                    hotwords=hotwords,
+                                    hotword_weight=args.hotword_weight,
                                     **beam_params)
     elif args.lm_path or beam_params or hotwords:
         decoder = PrefixBeamSearchLMDecoder(
@@ -251,10 +252,19 @@ def main(argv=None):
         offsets = None
         if isinstance(decoder, DeviceBeamDecoder):
             # one batched on-accelerator search for the whole batch
-            decoded = decoder.decode(out, sizes)
+            if args.word_timings:
+                decoded, offsets = decoder.decode(out, sizes,
+                                                  return_offsets=True)
+            else:
+                decoded = decoder.decode(out, sizes)
         elif isinstance(decoder, PrefixBeamSearchLMDecoder):
-            decoded = [decoder.decode(out[j][:sizes[j]])
-                       for j in range(out.shape[0])]
+            if args.word_timings:
+                # offsets come from forced alignment of each hypothesis
+                decoded, offsets = decoder.decode(out, sizes,
+                                                  return_offsets=True)
+            else:
+                decoded = [decoder.decode(out[j][:sizes[j]])
+                           for j in range(out.shape[0])]
         elif out.ndim == 2:
             # greedy path: eval_step already argmaxed on device
             decoded, offsets = decoder.decode_ids(out, sizes,

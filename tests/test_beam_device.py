@@ -209,3 +209,106 @@ def test_device_decoder_fused_lm_matches_host_decoder(tmp_path):
                             lm_path=str(path))
     expected = [host.decode(probs[b]) for b in range(B)]
     assert dev.decode(probs) == expected
+
+
+@pytest.mark.parametrize('k,beta,prune,weight', [
+    (5, 5.0, 1e-3, 2.0),
+    (3, 0.0, 1e-3, 3.0),
+    (8, 2.0, 1e-4, 1.5),
+])
+def test_hotword_fused_matches_host_grid(k, beta, prune, weight):
+    """Hotword biasing on device (no LM) must be string-identical to the
+    host DP with the same HotwordTrie over a hyperparameter grid,
+    including batched samples with different lengths."""
+    from wav2letter_pytorch_tpu.decoding.beam_device import \
+        beam_search_device_lm
+    rng = np.random.default_rng(71)
+    hotwords = ['ab', 'ba', 'cab']
+    B, T, V = 3, 22, len(LABELS)
+    probs = np.stack([_random_probs(rng, T, V, peaky=False)
+                      for _ in range(B)])
+    lengths = np.array([T, T - 6, T - 11], np.int32)
+    expected = [prefix_beam_search(probs[b, :lengths[b]], LABELS, k=k,
+                                   beta=beta, prune=prune,
+                                   hotwords=hotwords, hotword_weight=weight)
+                for b in range(B)]
+    got = beam_search_device_lm(np.log(np.clip(probs, 1e-30, None)),
+                                lengths, LABELS, lm=None, k=k, beta=beta,
+                                prune=prune, hotwords=hotwords,
+                                hotword_weight=weight)
+    assert got == expected
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3, 4, 5])
+def test_hotword_plus_lm_fused_matches_host_fuzz(seed):
+    """Hotwords AND an in-loop LM together: the composed device fusion
+    must equal the host DP exactly on random inputs."""
+    from wav2letter_pytorch_tpu.decoding.beam_device import \
+        beam_search_device_lm
+    rng = np.random.default_rng(900 + seed)
+    lm = _closure_lm({'a', 'ab', 'b a'})
+    hotwords = ['ab', 'ca']
+    T, V = int(rng.integers(8, 30)), len(LABELS)
+    probs = _random_probs(rng, T, V, peaky=bool(seed % 2))[None]
+    expected = prefix_beam_search(probs[0], LABELS, lm=lm, k=5, alpha=0.4,
+                                  beta=3.0, prune=1e-3, hotwords=hotwords,
+                                  hotword_weight=2.5)
+    got = beam_search_device_lm(np.log(np.clip(probs, 1e-30, None)),
+                                np.array([T], np.int32), LABELS, lm,
+                                k=5, alpha=0.4, beta=3.0, prune=1e-3,
+                                hotwords=hotwords, hotword_weight=2.5)
+    assert got[0] == expected
+
+
+def test_device_decoder_hotwords_matches_host_decoder():
+    """DeviceBeamDecoder(hotwords=...) equals PrefixBeamSearchLMDecoder
+    with the same hotwords through the Decoder API (no LM)."""
+    from wav2letter_pytorch_tpu.decoding import (DeviceBeamDecoder,
+                                                 PrefixBeamSearchLMDecoder)
+    rng = np.random.default_rng(41)
+    B, T, V = 2, 20, len(LABELS)
+    probs = np.stack([_random_probs(rng, T, V, peaky=False)
+                      for _ in range(B)])
+    host = PrefixBeamSearchLMDecoder('', LABELS, k=6, beta=5, prune=1e-2,
+                                     hotwords=['ab', 'ba'],
+                                     hotword_weight=2.0, backend='python')
+    dev = DeviceBeamDecoder(LABELS, k=6, beta=5, prune=1e-2,
+                            hotwords=['ab', 'ba'], hotword_weight=2.0)
+    expected = [host.decode(probs[b]) for b in range(B)]
+    assert dev.decode(probs) == expected
+
+
+def test_device_hotword_flips_ambiguous_decode():
+    """Effectiveness: a weakly-emitted hotword the unbiased device search
+    misses is recovered once biased (mirrors the host-DP test)."""
+    from wav2letter_pytorch_tpu.decoding.beam_device import \
+        beam_search_device_lm
+    labels = ['_', 'a', 'b', 'c', 'd', 'p', 't', 'u', ' ']
+    ix = {c: i for i, c in enumerate(labels)}
+    chars, rest = 'dab', 'dac'
+    T, V = len(chars), len(labels)
+    probs = np.zeros((T, V))
+    for t, (c, r) in enumerate(zip(chars, rest)):
+        probs[t] = 0.01 / (V - 2) if c != r else 0.01 / (V - 1)
+        probs[t, ix[c]] = 0.47 if c != r else 0.99
+        if c != r:
+            probs[t, ix[r]] = 0.52
+    lp = np.log(np.clip(probs, 1e-30, None))[None]
+    lengths = np.array([T], np.int32)
+    unbiased = beam_search_device_lm(lp, lengths, labels, k=4, beta=0.0,
+                                     prune=1e-3)
+    biased = beam_search_device_lm(lp, lengths, labels, k=4, beta=0.0,
+                                   prune=1e-3, hotwords=['dab'],
+                                   hotword_weight=3.0)
+    assert unbiased[0] != 'dab'
+    assert biased[0] == 'dab'
+    for got, hw in ((unbiased, None), (biased, ['dab'])):
+        assert got[0] == prefix_beam_search(probs, labels, k=4, beta=0.0,
+                                            prune=1e-3, hotwords=hw,
+                                            hotword_weight=3.0)
+
+
+def test_device_decoder_hotwords_rescore_rejected():
+    from wav2letter_pytorch_tpu.decoding import DeviceBeamDecoder
+    with pytest.raises(ValueError, match='fused'):
+        DeviceBeamDecoder(LABELS, hotwords=['ab'], lm_mode='rescore')

@@ -135,3 +135,64 @@ def test_beam_search_end_char_terminates():
     probs[3, 0] = 0.9
     res = prefix_beam_search(probs, labels, k=3)
     assert res.endswith('>')
+
+
+# --- beam-search offsets (forced-alignment based; the reference raises) --
+
+def test_beam_offsets_deterministic():
+    """Beam decode with return_offsets: offsets must point at the frames
+    that emit each character (same convention as greedy's first-emission
+    offsets on an unambiguous input)."""
+    labels = ['_', 'a', 'b', ' ']
+    dec = PrefixBeamSearchLMDecoder('', labels, k=4, beta=0, prune=1e-3,
+                                    backend='python')
+    probs = np.full((6, 4), 1e-4)
+    for t, i in enumerate([1, 1, 0, 1, 2, 2]):   # a a _ a b b -> 'aab'
+        probs[t, i] = 1.0
+    probs /= probs.sum(-1, keepdims=True)
+    text, offsets = dec.decode(probs, return_offsets=True)
+    assert text == 'aab'
+    greedy_text, greedy_off = GreedyDecoder(labels).decode(
+        probs[None], return_offsets=True)
+    assert greedy_text == ['aab']
+    assert offsets.tolist() == greedy_off[0].tolist() == [0, 3, 4]
+    # word timings flow through the same reference surface
+    from wav2letter_pytorch_tpu.decoding import get_time_per_word
+    times = get_time_per_word(list(text), offsets.tolist(), ratio=0.02)
+    assert times == [('aab', 0.0, 0.08)]
+
+
+def test_beam_offsets_batched_with_sizes():
+    labels = ['_', 'a', 'b', ' ']
+    dec = PrefixBeamSearchLMDecoder('', labels, k=4, beta=0, prune=1e-3,
+                                    backend='python')
+    rng = np.random.default_rng(6)
+    logits = rng.standard_normal((2, 10, 4)) * 3.0
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    sizes = np.array([10, 6])
+    texts, offs = dec.decode(probs, sizes, return_offsets=True)
+    assert len(texts) == len(offs) == 2
+    for b in range(2):
+        assert texts[b] == dec.decode(probs[b, :sizes[b]])
+        assert len(offs[b]) == len(texts[b])
+        if len(offs[b]):
+            assert (np.diff(offs[b]) >= 0).all()
+            assert offs[b].max() < sizes[b]
+
+
+def test_device_beam_offsets_match_host():
+    from wav2letter_pytorch_tpu.decoding import DeviceBeamDecoder
+    labels = ['_', 'a', 'b', ' ']
+    rng = np.random.default_rng(13)
+    logits = rng.standard_normal((2, 12, 4)) * 3.0
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    host = PrefixBeamSearchLMDecoder('', labels, k=5, beta=0, prune=1e-3,
+                                     backend='python')
+    dev = DeviceBeamDecoder(labels, k=5, beta=0.0, prune=1e-3)
+    h_texts, h_offs = host.decode(probs, return_offsets=True)
+    d_texts, d_offs = dev.decode(probs, return_offsets=True)
+    assert d_texts == h_texts
+    for b in range(2):
+        assert d_offs[b].tolist() == h_offs[b].tolist()

@@ -130,6 +130,14 @@ def test_eval_cli_word_timings(trained_run, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert 'timings  :' in out
+    # beam decoding also yields timings (forced-alignment offsets — the
+    # reference's beam search raises NotImplementedError for offsets)
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--beam-search-params', 'k=4,beta=2,prune=1e-3',
+                        '--word-timings', '--print-all'])
+    assert rc == 0
+    assert 'timings  :' in capsys.readouterr().out
 
 
 def test_eval_cli_device_beam(trained_run, capsys):
@@ -185,18 +193,21 @@ def test_eval_cli_dump_and_error_analysis(trained_run, tmp_path, capsys):
 
 
 def test_eval_cli_hotwords(trained_run, capsys):
-    """--hotwords implies beam decoding with contextual biasing (and is
-    refused on the device backend, where biasing does not exist)."""
+    """--hotwords implies beam decoding with contextual biasing, on both
+    the host and the device backends (identical corpus metrics — the
+    device search is string-exact vs the host DP)."""
     run_dir, manifest = trained_run
-    import pytest
     import test as test_cli
     rc = test_cli.main(['--model-path', run_dir,
                         '--test-manifest', manifest,
                         '--hotwords', 'aba,cab', '--hotword-weight', '1.5'])
     assert rc == 0
-    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert 'wer' in result
-    with pytest.raises(SystemExit, match='host beam backend'):
-        test_cli.main(['--model-path', run_dir,
-                       '--test-manifest', manifest,
-                       '--hotwords', 'aba', '--beam-backend', 'device'])
+    host = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 'wer' in host
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--hotwords', 'aba,cab', '--hotword-weight', '1.5',
+                        '--beam-backend', 'device'])
+    assert rc == 0
+    dev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dev['wer'] == host['wer'] and dev['cer'] == host['cer']

@@ -34,6 +34,14 @@ LM fusion comes in two flavors:
   ``rank + alpha*ln10*lm.score(text)`` over the n-best list. Faster when
   per-step host round-trips are expensive (e.g. a remote device tunnel).
 
+Hotword biasing (``hotwords=``) rides the same per-frame host loop as the
+exact LM fusion: the host keeps a per-slot-per-char log-delta table from
+each slot's HotwordTrie state (``ln trie.extend`` per char,
+``ln trie.complete`` on the space column, memoized per in-progress word)
+and the compiled step adds it to every extension contribution — identical
+math to the host DP's partial-credit scheme (decoder.py::HotwordTrie),
+composable with the fused LM. Cross-checked string-exact vs the host DP.
+
 Scan carry is O(k·V) scalars per sample (hashes, masses, word counts) —
 no prefix arrays on device; per-step outputs are (parent, char)
 backpointers, walked backwards on host to materialize the top string.
@@ -89,8 +97,9 @@ def _mask_tail_steps(lp, lengths, blank):
 
 
 def _make_step(k, blank, beta, log_prune, sep_mask, word_mask,
-               space_ix: int, use_lm: bool):
-    """Build the per-sample DP step: (carry, lp_t [V], lm_add [P]) ->
+               space_ix: int, use_lm: bool, use_hw: bool = False):
+    """Build the per-sample DP step:
+    (carry, lp_t [V], lm_add [P], hw_add [P, V-1]) ->
     (carry, (parent [P], char [P])).
 
     ``lm_add[slot]`` = alpha*ln(lm(prefix_of_slot stripped)) — applied to
@@ -98,6 +107,14 @@ def _make_step(k, blank, beta, log_prune, sep_mask, word_mask,
     exactly where the host DP multiplies ``lm(l_plus)**alpha``
     (decoder.py:227-230; the re-merge terms stay LM-free, matching
     decoder.py:233-237). Ignored when ``use_lm`` is False.
+
+    ``hw_add[slot, j]`` = hotword partial-credit log-delta for extending
+    the slot's prefix with non-blank char ``cs[j]`` (``ln trie.extend`` for
+    ordinary chars, ``ln trie.complete`` for the space) — applied to EVERY
+    extension contribution (repeat and non-repeat alike), exactly where the
+    host DP multiplies ``w_h``; the continuation/re-merge terms stay
+    unweighted, matching the host bookkeeping. Ignored when ``use_hw`` is
+    False.
     """
     V = len(sep_mask)
     sep = jnp.asarray(sep_mask, jnp.bool_)
@@ -105,7 +122,7 @@ def _make_step(k, blank, beta, log_prune, sep_mask, word_mask,
     cs = jnp.asarray([c for c in range(V) if c != blank])
     P = k * V
 
-    def step(carry, lp_t, lm_add):
+    def step(carry, lp_t, lm_add, hw_add):
         pb, pnb, h1, h2, wc, lastc, alive, has_char = carry
         score = jnp.logaddexp(pb, pnb)
         rank = jnp.where(alive,
@@ -135,6 +152,11 @@ def _make_step(k, blank, beta, log_prune, sep_mask, word_mask,
         is_rep = cs[None, :] == blast[:, None]            # [k, V-1]
         base = jnp.where(is_rep, bpb[:, None],
                          prev_total[:, None]) + lc[None, :]
+        if use_hw:
+            # Hotword partial credit: weights every extension contribution
+            # (host DP's w_h at decoder.py repeat/else branches and the
+            # trie.complete factor folded into the space column host-side).
+            base = base + hw_add[bidx]
         if use_lm:
             # Word boundary: non-repeat space extension of a prefix with
             # word content gets the in-loop LM weight (multiplies the
@@ -206,11 +228,11 @@ def _make_step(k, blank, beta, log_prune, sep_mask, word_mask,
 
 @lru_cache(maxsize=32)
 def _jitted_lm_step(k, blank, beta, log_prune, sep_mask, word_mask,
-                    space_ix):
-    """Compiled batched LM-fused DP step, cached across calls by its
-    static configuration (all-hashable args)."""
+                    space_ix, use_lm=True, use_hw=False):
+    """Compiled batched LM/hotword-fused DP step, cached across calls by
+    its static configuration (all-hashable args)."""
     step, P = _make_step(k, blank, beta, log_prune, sep_mask, word_mask,
-                         space_ix, use_lm=True)
+                         space_ix, use_lm=use_lm, use_hw=use_hw)
     return jax.jit(jax.vmap(step), donate_argnums=(0,)), P
 
 
@@ -238,10 +260,11 @@ def _search(lp, lengths, *, k, blank, beta, log_prune, sep_mask, word_mask):
                          space_ix=-1, use_lm=False)
     lp = _mask_tail_steps(lp, lengths, blank)
     dummy = jnp.zeros((P,), jnp.float32)
+    dummy_hw = jnp.zeros((1, 1), jnp.float32)
 
     def single(lp_s):
         carry, (parents, chars) = jax.lax.scan(
-            lambda c, x: step(c, x, dummy), _pool_init(P), lp_s)
+            lambda c, x: step(c, x, dummy, dummy_hw), _pool_init(P), lp_s)
         top_idx, ranks, scores = _final_rank(carry, beta, k)
         return parents, chars, top_idx, ranks, scores
 
@@ -300,21 +323,25 @@ def beam_search_device(log_probs, lengths, labels, k: int = 5,
     return results
 
 
-def beam_search_device_lm(log_probs, lengths, labels, lm, k: int = 5,
+def beam_search_device_lm(log_probs, lengths, labels, lm=None, k: int = 5,
                           alpha: float = 0.3, beta: float = 5.0,
-                          prune: float = 1e-3, blank_index: int = 0):
-    """EXACT in-loop LM fusion on device (reference decoder.py:227-230).
+                          prune: float = 1e-3, blank_index: int = 0,
+                          hotwords=None, hotword_weight: float = 2.0):
+    """EXACT in-loop LM and/or hotword fusion on device (reference
+    decoder.py:227-230; hotwords: decoding.HotwordTrie partial credit).
 
     A host loop dispatches one compiled batched DP step per frame; between
     steps the host advances the pool's prefix strings from the returned
-    (parent, char) tables and refreshes the per-slot LM bonus
-    ``alpha * ln(lm(prefix.strip(' ')))`` (memoized per string) that the
-    NEXT step applies to its space extensions. Device does all the mass
-    bookkeeping; host does only strings + LM — the split the string-keyed
-    LM forces. Math is identical to the host ``prefix_beam_search`` with
-    the same ``lm``.
+    (parent, char) tables and refreshes (a) the per-slot LM bonus
+    ``alpha * ln(lm(prefix.strip(' ')))`` the NEXT step applies to its
+    space extensions and (b) the per-slot-per-char hotword log-delta table
+    (``ln trie.extend`` per char, ``ln trie.complete`` on the space column)
+    the next step applies to every extension — both memoized. Device does
+    all the mass bookkeeping; host does only strings + LM/trie lookups —
+    the split the string-keyed scorers force. Math is identical to the
+    host ``prefix_beam_search`` with the same ``lm``/``hotwords``.
 
-    ``lm``: callable str -> probability (the host DP contract).
+    ``lm``: callable str -> probability (the host DP contract), or None.
     Returns: list (len B) of decoded strings.
     """
     labels = list(labels)
@@ -324,11 +351,18 @@ def beam_search_device_lm(log_probs, lengths, labels, lm, k: int = 5,
     sep_mask, word_mask = _masks(labels)
     space_ix = labels.index(' ') if ' ' in labels else -1
     k = int(k)
+    use_lm = lm is not None
+    trie = None
+    if hotwords is not None:
+        from .decoder import HotwordTrie
+        trie = hotwords if isinstance(hotwords, HotwordTrie) \
+            else HotwordTrie(hotwords, hotword_weight)
     # Memoized: a fresh jax.jit(closure) here would recompile the step
     # program on every call (jit caches by function identity), turning
     # repeated-batch eval into one full compile per batch.
     step_b, P = _jitted_lm_step(k, int(blank_index), float(beta),
-                                _log(prune), sep_mask, word_mask, space_ix)
+                                _log(prune), sep_mask, word_mask, space_ix,
+                                use_lm=use_lm, use_hw=trie is not None)
 
     lp = jnp.asarray(log_probs, jnp.float32)
     lengths = jnp.asarray(lengths, jnp.int32)
@@ -337,7 +371,7 @@ def beam_search_device_lm(log_probs, lengths, labels, lm, k: int = 5,
     carry = jax.vmap(lambda _: _pool_init(P))(jnp.arange(B))
 
     # Host-side pool mirrors: prefix string per slot (only live slots are
-    # meaningful) and the memoized LM bonus table.
+    # meaningful) and the memoized LM-bonus / hotword-delta tables.
     strings = [[''] * P for _ in range(B)]
     lm_add_h = np.zeros((B, P), np.float32)
     memo: dict = {}
@@ -351,9 +385,39 @@ def beam_search_device_lm(log_probs, lengths, labels, lm, k: int = 5,
             memo[s] = hit
         return hit
 
+    # Hotword delta rows, memoized per in-progress-word partial: the delta
+    # only depends on the post-last-space characters of the prefix.
+    cs_host = [c for c in range(V) if c != blank_index]
+    hw_add_h = np.zeros((B, P, V - 1), np.float32)
+    hw_memo: dict = {}
+    ln_w = float(np.log(trie.weight)) if trie is not None else 0.0
+
+    def hw_row(partial: str):
+        row = hw_memo.get(partial)
+        if row is None:
+            u0 = trie.units(partial)
+            row = np.empty((V - 1,), np.float32)
+            for j, ci in enumerate(cs_host):
+                ch = labels[ci]
+                if ch == ' ':
+                    # ln trie.complete(partial): keep credit for a full
+                    # hotword, cancel it otherwise (decoder.py complete()).
+                    row[j] = 0.0 if partial in trie.words else -ln_w * u0
+                else:
+                    row[j] = ln_w * (trie.units(partial + ch) - u0)
+            hw_memo[partial] = row
+        return row
+
+    if trie is not None:
+        # The root prefix '' is live before the first frame: its
+        # extensions already earn first-character credit (host DP applies
+        # trie.extend('', c) at t=1).
+        hw_add_h[:, 0, :] = hw_row('')
+    dummy_hw = jnp.zeros((B, 1, 1), jnp.float32)
     for t in range(T):
-        carry, (parent, char) = step_b(carry, lp[:, t],
-                                       jnp.asarray(lm_add_h))
+        carry, (parent, char) = step_b(
+            carry, lp[:, t], jnp.asarray(lm_add_h),
+            jnp.asarray(hw_add_h) if trie is not None else dummy_hw)
         parent_h = np.asarray(parent)
         char_h = np.asarray(char)
         alive_h = np.asarray(carry[6])
@@ -369,14 +433,20 @@ def beam_search_device_lm(log_probs, lengths, labels, lm, k: int = 5,
                 c = crow[s]
                 new[s] = prev[row[s]] if c < 0 else prev[row[s]] + labels[c]
             strings[b] = new
-            # Next step's LM bonus: the boundary factor is
-            # lm((prefix + ' ').strip(' ')) == lm(prefix.strip(' ')).
-            add = lm_add_h[b]
-            for s in range(P):
-                if arow[s] and new[s].replace(' ', ''):
-                    add[s] = bonus(new[s].strip(' '))
-                else:
-                    add[s] = 0.0
+            if use_lm:
+                # Next step's LM bonus: the boundary factor is
+                # lm((prefix + ' ').strip(' ')) == lm(prefix.strip(' ')).
+                add = lm_add_h[b]
+                for s in range(P):
+                    if arow[s] and new[s].replace(' ', ''):
+                        add[s] = bonus(new[s].strip(' '))
+                    else:
+                        add[s] = 0.0
+            if trie is not None:
+                hadd = hw_add_h[b]
+                for s in range(P):
+                    if arow[s]:
+                        hadd[s] = hw_row(new[s].rsplit(' ', 1)[-1])
 
     top_idx, _, _ = _jitted_final_rank(float(beta), k)(carry)
     top_idx = np.asarray(top_idx)
@@ -400,8 +470,9 @@ class DeviceBeamDecoder:
     def __init__(self, labels, blank_index: int = 0, k: int = 5,
                  alpha: float = 0.3, beta: float = 5.0, prune: float = 1e-3,
                  lm_path: str = '', n_best: int = 8,
-                 lm_mode: str = 'fused'):
-        from .decoder import Decoder
+                 lm_mode: str = 'fused', hotwords=None,
+                 hotword_weight: float = 2.0):
+        from .decoder import Decoder, HotwordTrie
         self._base = Decoder(list(labels), blank_index)
         self.labels = self._base.labels
         self.blank_index = blank_index
@@ -414,6 +485,15 @@ class DeviceBeamDecoder:
         if lm_path:
             from .arpa_lm import load_lm
             self._lm = load_lm(lm_path)
+        self.trie = None
+        if hotwords is not None:
+            if lm_mode == 'rescore':
+                raise ValueError(
+                    'hotword biasing needs in-loop fusion: use '
+                    "lm_mode='fused' (n-best rescoring cannot recover "
+                    'hypotheses the unbiased search pruned)')
+            self.trie = hotwords if isinstance(hotwords, HotwordTrie) \
+                else HotwordTrie(hotwords, hotword_weight)
 
     # WER/CER surface (delegate to the shared Decoder math)
     def wer(self, *a, **k):
@@ -431,10 +511,9 @@ class DeviceBeamDecoder:
     def decode(self, probs, sizes=None, return_offsets: bool = False):
         """probs: [B, T, V] or [T, V] label PROBABILITIES (reference
         decoder contract). Returns decoded strings (a single string for
-        2-D input)."""
-        if return_offsets:
-            raise NotImplementedError(
-                'Prefix beam search does not support offsets (yet).')
+        2-D input); with ``return_offsets``, also per-char frame offsets
+        from forced alignment of each hypothesis (decoder._beam_offsets).
+        """
         probs = np.asarray(probs)
         squeeze = probs.ndim == 2
         if squeeze:
@@ -443,30 +522,40 @@ class DeviceBeamDecoder:
         sizes = np.full((B,), T, np.int32) if sizes is None \
             else np.asarray(sizes, np.int32)
         lp = np.log(np.clip(probs, 1e-30, None))
-        if self._lm is not None and self.lm_mode == 'fused':
-            lm_prob = lambda s: 10.0 ** self._lm.score(s)
+        if (self._lm is not None and self.lm_mode == 'fused') \
+                or self.trie is not None:
+            lm_prob = None if self._lm is None \
+                else (lambda s: 10.0 ** self._lm.score(s))
             out = beam_search_device_lm(lp, sizes, self.labels, lm_prob,
                                         k=self.k, alpha=self.alpha,
                                         beta=self.beta, prune=self.prune,
-                                        blank_index=self.blank_index)
-            return out[0] if squeeze else out
-        n_best = self.n_best if self._lm is not None else 1
-        results = beam_search_device(lp, sizes, self.labels, k=self.k,
-                                     beta=self.beta, prune=self.prune,
-                                     blank_index=self.blank_index,
-                                     n_best=n_best)
-        out = []
-        for hyps in results:
-            if self._lm is None:
-                best = hyps[0][0]
-            else:
-                ln10 = float(np.log(10.0))
+                                        blank_index=self.blank_index,
+                                        hotwords=self.trie)
+        else:
+            n_best = self.n_best if self._lm is not None else 1
+            results = beam_search_device(lp, sizes, self.labels, k=self.k,
+                                         beta=self.beta, prune=self.prune,
+                                         blank_index=self.blank_index,
+                                         n_best=n_best)
+            out = []
+            for hyps in results:
+                if self._lm is None:
+                    best = hyps[0][0]
+                else:
+                    ln10 = float(np.log(10.0))
 
-                def rescored(h):
-                    ids, _, log_rank = h
-                    text = ''.join(self.labels[i] for i in ids).strip()
-                    return log_rank + self.alpha * ln10 * \
-                        self._lm.score(text)
-                best = max(hyps, key=rescored)[0]
-            out.append(''.join(self.labels[i] for i in best))
+                    def rescored(h):
+                        ids, _, log_rank = h
+                        text = ''.join(self.labels[i] for i in ids).strip()
+                        return log_rank + self.alpha * ln10 * \
+                            self._lm.score(text)
+                    best = max(hyps, key=rescored)[0]
+                out.append(''.join(self.labels[i] for i in best))
+        if return_offsets:
+            from .decoder import _beam_offsets
+            offs = [_beam_offsets(probs[b, :sizes[b]], out[b], self.labels,
+                                  self.blank_index) for b in range(B)]
+            if squeeze:
+                return out[0], offs[0]
+            return out, offs
         return out[0] if squeeze else out

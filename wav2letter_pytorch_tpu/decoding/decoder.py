@@ -491,26 +491,58 @@ class PrefixBeamSearchLMDecoder(Decoder):
         self.prune = prune
 
     def decode(self, probs, sizes=None, return_offsets: bool = False):
-        if return_offsets:
-            raise NotImplementedError(
-                'Prefix beam search does not support offsets (yet).')
+        """Decode [T, L] probabilities (or a [B, T, L] batch, looped per
+        sample like the reference, decoder.py:262-267).
+
+        ``return_offsets`` (the reference raises NotImplementedError here)
+        returns per-char frame offsets computed by Viterbi-force-aligning
+        the winning hypothesis back to the same probabilities
+        (decoding.forced_align) — exact, since every beam prefix is the
+        emission of at least one feasible CTC path. ``sizes`` truncates
+        each sample before decode+alignment on this path.
+        """
         probs = np.asarray(probs)
         if probs.ndim == 2:
             if self._use_native:
                 from .beam_native import prefix_beam_search_native
-                return prefix_beam_search_native(
+                text = prefix_beam_search_native(
                     probs, self.labels, self.blank_index, self._native_lm,
                     self.k, self.alpha, self.beta, self.prune,
                     hotwords=self.trie)
-            return prefix_beam_search(probs, self.labels, self.blank_index,
-                                      self.lm_weigh, self.k, self.alpha,
-                                      self.beta, self.prune,
-                                      hotwords=self.trie)
+            else:
+                text = prefix_beam_search(
+                    probs, self.labels, self.blank_index, self.lm_weigh,
+                    self.k, self.alpha, self.beta, self.prune,
+                    hotwords=self.trie)
+            if not return_offsets:
+                return text
+            return text, _beam_offsets(probs, text, self.labels,
+                                       self.blank_index)
         if probs.ndim == 3:
-            return [self.decode(p) for p in probs]
+            if not return_offsets:
+                return [self.decode(p) for p in probs]
+            pairs = [self.decode(
+                probs[b] if sizes is None else probs[b, :int(sizes[b])],
+                return_offsets=True) for b in range(probs.shape[0])]
+            return [p[0] for p in pairs], [p[1] for p in pairs]
         raise RuntimeError(
             f'Decoding with wrong shape: {probs.shape}, expected '
             '[Batch x Frames x Labels] or [Frames x Labels]')
+
+
+def _beam_offsets(probs, text: str, labels, blank_index: int):
+    """Per-char first-emission frames for a beam hypothesis: Viterbi
+    forced alignment of ``text`` against the probabilities it was decoded
+    from (GreedyDecoder offset convention: one offset per decoded char,
+    spaces included)."""
+    if not text:
+        return np.zeros((0,), np.int32)
+    from .forced_align import forced_align
+    lp = np.log(np.clip(np.asarray(probs, np.float64), 1e-30, None))
+    # Always feasible: the DP only builds prefixes that at least one
+    # monotone CTC path emits (repeats are extended via blank paths only).
+    spans = forced_align(lp, text, labels, blank_index)
+    return np.asarray([start for _, start, _ in spans], np.int32)
 
 
 def get_time_per_word(predictions, offsets, ratio: float = 1.0):
