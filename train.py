@@ -46,6 +46,11 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     print_cfg = '--cfg' in argv
     resume = '--resume' in argv
+    if '--cpu' in argv:
+        # Pin in-process BEFORE first backend use: plain env vars do not
+        # reliably override an ambient accelerator plugin (test.py --cpu).
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     overrides = [a for a in argv if not a.startswith('--')]
     cfg = load_config(overrides)
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
