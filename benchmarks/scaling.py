@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Multi-chip scaling benchmark: training + MeshInference over mesh sizes.
+"""Multi-chip scaling benchmark: training + serving over mesh sizes.
 
-Measures utterances/sec at data-mesh sizes {1,2,4,8,...} for (a) the full
-jitted SPMD training step (frontend + conv stack + CTC + optimizer, gradient
-all-reduce over ICI) and (b) batched ``MeshInference`` serving, and reports
-per-chip scaling efficiency relative to the 1-device point.
+Measures, at data-mesh sizes {1,2,4,8,...}: (a) utt/s of the full jitted
+SPMD training step (frontend + conv stack + CTC + optimizer, gradient
+all-reduce over ICI), (b) utt/s of batched ``MeshInference`` serving, and
+(c) real-time stream capacity of the mesh-sharded ``StreamMultiplexer``
+(slot axis sharded across chips, zero collectives), with per-chip scaling
+efficiency relative to the 1-device point.
 
 Ready to run UNCHANGED the moment multi-chip hardware exists:
 
@@ -121,13 +123,70 @@ def bench_infer(n: int, args, cfg_overrides, rng):
     return batch * args.steps / dt
 
 
+def bench_stream(n: int, args, cfg_overrides, rng):
+    """Streams-per-mesh supportable in real time: mesh-sharded
+    StreamMultiplexer tick time vs the chunk's audio duration."""
+    import jax
+    from wav2letter_pytorch_tpu.config import load_config
+    from wav2letter_pytorch_tpu.parallel import make_mesh
+    from wav2letter_pytorch_tpu.serving import (StreamingWav2Letter,
+                                                StreamMultiplexer)
+    from wav2letter_pytorch_tpu.training import (build_frontend, build_labels,
+                                                 build_model)
+
+    cfg = load_config(cfg_overrides)
+    labels = build_labels(cfg.model)
+    model = build_model(cfg.model, num_labels=len(labels))
+    frontend = build_frontend(cfg.model, dither=0.0)
+    layers = [dict(l) for l in cfg.model.layers][:cfg.model.mid_layers]
+    t = int(args.seconds * SR)
+    audio = (rng.standard_normal((1, t)) * 0.1).astype(np.float32)
+    feats, flens = frontend(audio, np.array([t], np.int32))
+    variables = jax.device_get(jax.jit(
+        lambda f, l: model.init(jax.random.PRNGKey(0), f, l,
+                                train=False))(feats, flens))
+    n_mels = feats.shape[-1]
+    stats = (np.zeros(n_mels, np.float32), np.ones(n_mels, np.float32))
+    sw = StreamingWav2Letter(
+        layers, len(labels), variables, frontend,
+        chunk_frames=args.chunk_frames, norm='precomputed',
+        norm_stats=stats,
+        padding_mode=str(getattr(cfg.model, 'padding_mode', 'reflect')))
+
+    slots = args.streams_per_chip * n
+    mux = StreamMultiplexer(sw, slots=slots, labels=labels,
+                            mesh=make_mesh(n))
+    cs, ps = sw.chunk_samples, sw.prime_samples
+    for _ in range(slots):
+        s = mux.attach()
+        mux.feed(s, (rng.standard_normal(ps) * 0.1).astype(np.float32))
+
+    def one_tick():
+        chunk = (rng.standard_normal(cs) * 0.1).astype(np.float32)
+        for s in range(slots):
+            mux.feed(s, chunk)
+        mux.tick()
+
+    for _ in range(args.warmup):
+        one_tick()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        one_tick()
+    dt = (time.perf_counter() - t0) / args.steps
+    chunk_seconds = cs / SR
+    # real-time streams the mesh supports = slots x (chunk time / tick time)
+    return slots * chunk_seconds / dt
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--mesh-sizes', default='1,2,4,8')
-    parser.add_argument('--mode', choices=['train', 'infer', 'both'],
-                        default='both')
+    parser.add_argument('--mode', choices=['train', 'infer', 'stream', 'all'],
+                        default='all')
     parser.add_argument('--batch-per-chip', type=int, default=32)
     parser.add_argument('--infer-batch-per-chip', type=int, default=32)
+    parser.add_argument('--streams-per-chip', type=int, default=16)
+    parser.add_argument('--chunk-frames', type=int, default=64)
     parser.add_argument('--seconds', type=float, default=8.0)
     parser.add_argument('--warmup', type=int, default=2)
     parser.add_argument('--steps', type=int, default=8)
@@ -144,6 +203,8 @@ def main(argv=None):
         _ensure_devices(8)
         args.batch_per_chip = min(args.batch_per_chip, 2)
         args.infer_batch_per_chip = min(args.infer_batch_per_chip, 2)
+        args.streams_per_chip = min(args.streams_per_chip, 2)
+        args.chunk_frames = min(args.chunk_frames, 16)
         args.seconds = min(args.seconds, 0.4)
         args.warmup, args.steps = 1, 2
         args.mid_layers = min(args.mid_layers, 2)
@@ -173,15 +234,18 @@ def main(argv=None):
         'platform': jax.default_backend(),
         'cpu_smoke': bool(args.cpu_smoke),
         'mesh_sizes': sizes,
-        'train': {}, 'infer': {},
+        'train': {}, 'infer': {}, 'stream': {},
     }
-    for kind, fn in (('train', bench_train), ('infer', bench_infer)):
-        if args.mode not in (kind, 'both'):
+    units = {'train': 'utt/s', 'infer': 'utt/s',
+             'stream': 'real-time streams'}
+    for kind, fn in (('train', bench_train), ('infer', bench_infer),
+                     ('stream', bench_stream)):
+        if args.mode not in (kind, 'all', 'both'):
             continue
         for n in sizes:
             utt_s = fn(n, args, cfg_overrides, rng)
             results[kind][str(n)] = round(utt_s, 2)
-            print(f'{kind} mesh={n}: {utt_s:.2f} utt/s '
+            print(f'{kind} mesh={n}: {utt_s:.2f} {units[kind]} '
                   f'({utt_s / n:.2f}/chip)')
         base = results[kind].get('1')
         if base:

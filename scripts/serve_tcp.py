@@ -32,6 +32,10 @@ def main():
     p.add_argument('--port', type=int, default=7600)
     p.add_argument('--slots', type=int, default=16,
                    help='concurrent-stream capacity (batch rows)')
+    p.add_argument('--mesh', action='store_true',
+                   help='shard the slot batch across ALL local devices '
+                        '(StreamMultiplexer mesh mode; slots must divide '
+                        'by the device count)')
     p.add_argument('--chunk-frames', type=int, default=64,
                    help='feature frames per streaming step')
     p.add_argument('--realtime', action='store_true',
@@ -53,8 +57,14 @@ def run_server(args):
 
     model, labels, meta = streaming_from_artifact(
         args.artifact, chunk_frames=args.chunk_frames)
+    mesh = None
+    if args.mesh:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()), ('data',))
     srv = StreamingServer(model, labels, slots=args.slots,
-                          host=args.host, port=args.port)
+                          host=args.host, port=args.port, mesh=mesh)
     chunk_s = model.chunk_samples / model.sample_rate
     print(f'serving {meta.get("family", "wav2letter")} '
           f'({meta["format"]} weights) on {args.host}:{args.port} — '

@@ -176,3 +176,36 @@ def test_protocol_garbage_rejected(server):
         buf += part
     assert buf[4:5] == b'\x84'
     s.close()
+
+
+def test_mesh_server_roundtrip(sw):  # noqa: F811
+    """StreamingServer(mesh=...): the slot batch shards over the device
+    mesh; a network client's transcript must still equal the dedicated
+    session's exactly."""
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()), ('data',))
+    n = len(jax.devices())
+    srv = StreamingServer(sw, LABELS, slots=n, poll=0.002, mesh=mesh)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(srv.start())
+        started.set()
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(30)
+    try:
+        rng = np.random.default_rng(91)
+        audio = _audio(rng, sw.prime_samples + 2 * sw.chunk_samples + 333)
+        c = StreamClient('127.0.0.1', srv.port, sample_rate=SR)
+        c.send(audio)
+        assert c.finish() == _dedicated(sw, audio)
+    finally:
+        asyncio.run_coroutine_threadsafe(srv.stop(), loop).result(10)
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(10)

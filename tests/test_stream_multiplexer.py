@@ -131,3 +131,60 @@ def test_multiplexer_slot_reuse_and_errors(sw):
     assert c == a
     with pytest.raises(ValueError, match='prime window'):
         mux.detach(b)  # never primed
+
+def _all_devices_mesh():
+    import jax
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices())
+    return Mesh(devs, ('data',))
+
+
+def test_mesh_sharded_multiplexer_matches_unsharded(sw):
+    """mesh=: the slot axis shards across the device mesh with zero
+    collectives; transcripts must equal the unsharded multiplexer's (and
+    dedicated sessions') exactly, across staggered attach/detach."""
+    mesh = _all_devices_mesh()
+    n = int(np.prod(list(mesh.devices.shape)))
+    rng = np.random.default_rng(77)
+    cs, ps = sw.chunk_samples, sw.prime_samples
+    lengths = [ps + 4 * cs + 500, ps + 3 * cs + 90, ps + 2 * cs]
+    streams = [(rng.standard_normal(L) * 0.3).astype(np.float32)
+               for L in lengths]
+    expected = [_dedicated(sw, a) for a in streams]
+
+    mux = StreamMultiplexer(sw, slots=n, labels=LABELS, mesh=mesh)
+    # the batched state is really sharded over the mesh
+    import jax
+    leaf = jax.tree_util.tree_leaves(mux._state)[0]
+    assert len(leaf.sharding.device_set) == n
+
+    pos, slot = [0] * 3, [None] * 3
+    attach_at = [0, 1, 2]
+    finals = [None] * 3
+    for t in range(30):
+        if all(f is not None for f in finals):
+            break
+        for i in range(3):
+            if attach_at[i] == t:
+                slot[i] = mux.attach()
+                mux.feed(slot[i], streams[i][:ps + cs])
+                pos[i] = ps + cs
+        for i in range(3):
+            if slot[i] is None or finals[i] is not None:
+                continue
+            if pos[i] < lengths[i]:
+                mux.feed(slot[i], streams[i][pos[i]:pos[i] + cs])
+                pos[i] += cs
+            if pos[i] >= lengths[i] and mux.pending(slot[i]) < cs:
+                finals[i] = mux.detach(slot[i])
+        mux.tick_ready()
+    for i in range(3):
+        if finals[i] is None:
+            finals[i] = mux.detach(slot[i])
+    assert finals == expected
+
+
+def test_mesh_multiplexer_rejects_indivisible_slots(sw):
+    mesh = _all_devices_mesh()
+    with pytest.raises(ValueError, match='divisible'):
+        StreamMultiplexer(sw, slots=3, labels=LABELS, mesh=mesh)

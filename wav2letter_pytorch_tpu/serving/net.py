@@ -109,12 +109,16 @@ class StreamingServer:
     compiled streaming program).
     ``poll``: tick-loop sleep when no slot is steppable; defaults to a
     quarter chunk of audio time, floored at 1 ms.
+    ``mesh``: optional ``jax.sharding.Mesh`` — shards the slot batch
+    across all mesh devices (StreamMultiplexer mesh mode: zero
+    collectives, N chips serve N× the streams of one).
     """
 
     def __init__(self, model, labels, slots: int = 16,
                  host: str = '127.0.0.1', port: int = 0,
-                 poll: float | None = None):
-        self.mux = StreamMultiplexer(model, slots=slots, labels=labels)
+                 poll: float | None = None, mesh=None):
+        self.mux = StreamMultiplexer(model, slots=slots, labels=labels,
+                                     mesh=mesh)
         self.sample_rate = model.sample_rate
         self.host, self.port = host, port
         cs = model.chunk_samples

@@ -31,9 +31,17 @@ class StreamMultiplexer:
     """Multiplex up to ``slots`` live streams through one batched session.
 
     ``model``: a ``StreamingWav2Letter`` / ``StreamingJasper`` instance.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — shards the slot axis of the
+    batched state (and each tick's chunk batch) across the mesh's devices.
+    Slot rows never interact, so the partitioned step contains ZERO
+    collectives: N chips serve N× the concurrent streams of one chip at
+    the same per-tick latency (weights are replicated once at
+    construction). Transcripts are bit-identical to the unsharded
+    multiplexer (tested on the CPU mesh).
     """
 
-    def __init__(self, model, slots: int = 16, labels=None):
+    def __init__(self, model, slots: int = 16, labels=None, mesh=None):
         import jax
         import jax.numpy as jnp
         if labels is None:
@@ -43,13 +51,34 @@ class StreamMultiplexer:
         self.m = model
         self.slots = slots
         self.labels = list(labels)
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            n = int(np.prod(list(mesh.devices.shape)))
+            if slots % n:
+                raise ValueError(f'slots ({slots}) must be divisible by '
+                                 f'the mesh size ({n})')
+            # Leading (slot) dim sharded jointly over every mesh axis;
+            # all other dims replicated.
+            self._row_shard = NamedSharding(
+                mesh, PartitionSpec(tuple(mesh.axis_names)))
+            rep = NamedSharding(mesh, PartitionSpec())
+            # Replicate the weights across the mesh once — the model
+            # committed them to its default device, and mixed placements
+            # would force a copy every tick.
+            self._weights = jax.device_put(model._weights_dev, rep)
+        else:
+            self._row_shard = None
+            self._weights = model._weights_dev
         # Bootstrap a valid batched state: tile a single-row silence prime
         # (feed() compiles/needs the batch-1 prime anyway — no extra
         # batch=slots prime compilation).
         silence = np.zeros((1, model.prime_samples), np.float32)
-        row, _ = model._prime_fn(model._weights_dev, silence)
+        row, _ = model._prime_fn(self._weights, silence)
         self._state = jax.tree_util.tree_map(
             lambda s: jnp.repeat(s, slots, axis=0), row)
+        if self._row_shard is not None:
+            self._state = jax.device_put(self._state, self._row_shard)
         self._buf = [np.zeros(0, np.float32)] * slots
         self._active = [False] * slots
         self._primed = [False] * slots
@@ -84,9 +113,9 @@ class StreamMultiplexer:
                 and len(self._buf[slot]) >= self.m.prime_samples):
             chunk = self._buf[slot][:self.m.prime_samples][None]
             self._buf[slot] = self._buf[slot][self.m.prime_samples:]
-            row_state, logp = self.m._prime_fn(self.m._weights_dev, chunk)
-            self._state = jax.tree_util.tree_map(
-                lambda S, r: S.at[slot].set(r[0]), self._state, row_state)
+            row_state, logp = self.m._prime_fn(self._weights, chunk)
+            self._state = self._scatter_fn(self._state, row_state,
+                                           np.int32(slot))
             self._consumed[slot] = self.m.prime_samples
             self._primed[slot] = True
             self._decode(slot, np.asarray(logp)[0])
@@ -125,13 +154,16 @@ class StreamMultiplexer:
         return self._step(stepped)
 
     def _step(self, stepped):
+        import jax
         cs = self.m.chunk_samples
         chunks = np.zeros((self.slots, cs), np.float32)
         for s in stepped:
             chunks[s] = self._buf[s][:cs]
             self._buf[s] = self._buf[s][cs:]
             self._consumed[s] += cs
-        new_state, logp = self.m._step_fn(self.m._weights_dev,
+        if self._row_shard is not None:
+            chunks = jax.device_put(chunks, self._row_shard)
+        new_state, logp = self.m._step_fn(self._weights,
                                           self._state, chunks)
         if len(stepped) < self.slots:
             mask = np.zeros(self.slots, bool)
@@ -153,8 +185,25 @@ class StreamMultiplexer:
                     lambda n, o: jnp.where(
                         mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
                     new, old)
-            self._select_fn_cached = jax.jit(sel)
+            self._select_fn_cached = jax.jit(
+                sel, out_shardings=self._row_shard)
         return self._select_fn_cached
+
+    @property
+    def _scatter_fn(self):
+        """Jitted prime-row scatter into the batched state (slot index is
+        a traced arg — one compile covers every slot; ``out_shardings``
+        keeps the state slot-sharded in mesh mode)."""
+        import jax
+
+        if not hasattr(self, '_scatter_fn_cached'):
+            def scatter(S, row, slot):
+                return jax.tree_util.tree_map(
+                    lambda s, r: jax.lax.dynamic_update_index_in_dim(
+                        s, r[0].astype(s.dtype), slot, 0), S, row)
+            self._scatter_fn_cached = jax.jit(
+                scatter, out_shardings=self._row_shard)
+        return self._scatter_fn_cached
 
     def detach(self, slot: int, total_samples: int | None = None) -> str:
         """Flush ``slot`` through the single-row finish program and free
@@ -181,7 +230,7 @@ class StreamMultiplexer:
         row_state = jax.tree_util.tree_map(lambda S: S[slot:slot + 1],
                                            self._state)
         logp, valid = self.m._finish_fn(
-            self.m._weights_dev, row_state, padded,
+            self._weights, row_state, padded,
             np.array([tail_len], np.int32))
         self._decode(slot, np.asarray(logp)[0, :int(np.asarray(valid)[0])])
         text = self._text[slot]
