@@ -181,8 +181,10 @@ def bench_stream(n: int, args, cfg_overrides, rng):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--mesh-sizes', default='1,2,4,8')
-    parser.add_argument('--mode', choices=['train', 'infer', 'stream', 'all'],
-                        default='all')
+    parser.add_argument('--mode',
+                        choices=['train', 'infer', 'stream', 'both', 'all'],
+                        default='all',
+                        help="'both' = train+infer (pre-stream-mode name)")
     parser.add_argument('--batch-per-chip', type=int, default=32)
     parser.add_argument('--infer-batch-per-chip', type=int, default=32)
     parser.add_argument('--streams-per-chip', type=int, default=16)
@@ -240,7 +242,8 @@ def main(argv=None):
              'stream': 'real-time streams'}
     for kind, fn in (('train', bench_train), ('infer', bench_infer),
                      ('stream', bench_stream)):
-        if args.mode not in (kind, 'all', 'both'):
+        if args.mode != 'all' and args.mode != kind and not (
+                args.mode == 'both' and kind in ('train', 'infer')):
             continue
         for n in sizes:
             utt_s = fn(n, args, cfg_overrides, rng)

@@ -6,7 +6,7 @@
 # `bash examples/librispeech.sh --offline` runs the IDENTICAL pipeline on
 # the first-party formant-synthesis FLAC corpus instead of downloading —
 # the network-free stand-in recorded in benchmarks/full_depth_run.json.
-# A second `--cpu` argument pins train/eval to the CPU backend.
+# Adding `--cpu` (any position) pins train/eval to the CPU backend.
 set -e
 
 # Resolve the repo root so the demo can run from any working directory
@@ -14,12 +14,21 @@ set -e
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 
+# Flags are position-independent: any arg may be --offline or --cpu.
 EXTRA=""
-if [ "${2:-}" = "--cpu" ]; then EXTRA="--cpu"; fi
+OFFLINE=0
+for arg in "$@"; do
+    case "$arg" in
+        --offline) OFFLINE=1 ;;
+        --cpu)     EXTRA="--cpu" ;;
+        *) echo "unknown argument: $arg (expected --offline / --cpu)" >&2
+           exit 2 ;;
+    esac
+done
 
 python "$REPO/examples/check_requirements.py"
 
-if [ "${1:-}" = "--offline" ]; then
+if [ "$OFFLINE" = 1 ]; then
     python "$REPO/scripts/make_offline_corpus.py" --root ./offline_corpus \
         --n-train 300 --n-test 60 --splits train,test
     TRAIN_CSV=./offline_corpus/train_manifest.csv

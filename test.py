@@ -72,7 +72,8 @@ def main(argv=None):
                              'an LM (export_serving.py --lm-path)')
     parser.add_argument('--word-timings', action='store_true',
                         help='print (word, start_s, end_s) per utterance '
-                             '(greedy decoder only)')
+                             '(greedy offsets, or forced-alignment offsets '
+                             'under beam decoding)')
     parser.add_argument('--beam-search-params', default='',
                         help='e.g. k=16,alpha=0.5,beta=5,prune=1e-3 '
                              '(implies beam search even without --lm-path)')
@@ -558,23 +559,33 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
                 stream_logprobs
             logp = stream_logprobs(sw, audio)
         # Jasper streams eval-mode probabilities; Wav2Letter log-probs.
+        offsets0 = None
         if isinstance(decoder, DeviceBeamDecoder):
             probs = logp if emits_probs else np.exp(logp)
-            decoded = decoder.decode(probs, np.array([logp.shape[1]]))[0]
+            sizes1 = np.array([logp.shape[1]])
+            if args.word_timings:
+                decoded, offs = decoder.decode(probs, sizes1,
+                                               return_offsets=True)
+                decoded, offsets0 = decoded[0], offs[0]
+            else:
+                decoded = decoder.decode(probs, sizes1)[0]
         elif isinstance(decoder, PrefixBeamSearchLMDecoder):
             probs = logp if emits_probs else np.exp(logp)
-            decoded = decoder.decode(probs[0])
+            if args.word_timings:
+                decoded, offsets0 = decoder.decode(probs[0],
+                                                   return_offsets=True)
+            else:
+                decoded = decoder.decode(probs[0])
         else:
             decoded, offsets = decoder.decode(logp, return_offsets=True)
-            decoded = decoded[0]
-            if args.word_timings:
-                frame_seconds = (float(cfg.model.audio_conf.window_stride)
-                                 * model.scaling_factor)
-                times = get_time_per_word(list(decoded),
-                                          offsets[0].tolist(),
-                                          ratio=frame_seconds)
-                print('timings  : ' + ' '.join(
-                    f'{w0}[{s0:.2f}-{e0:.2f}]' for w0, s0, e0 in times))
+            decoded, offsets0 = decoded[0], offsets[0]
+        if args.word_timings and offsets0 is not None:
+            frame_seconds = (float(cfg.model.audio_conf.window_stride)
+                             * model.scaling_factor)
+            times = get_time_per_word(list(decoded), offsets0.tolist(),
+                                      ratio=frame_seconds)
+            print('timings  : ' + ' '.join(
+                f'{w0}[{s0:.2f}-{e0:.2f}]' for w0, s0, e0 in times))
         c, cd = decoder.cer_ratio(text, decoded)
         w, wd = decoder.wer_ratio(text, decoded)
         acc.add('cer', c, cd)

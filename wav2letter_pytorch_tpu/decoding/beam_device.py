@@ -385,30 +385,25 @@ def beam_search_device_lm(log_probs, lengths, labels, lm=None, k: int = 5,
             memo[s] = hit
         return hit
 
-    # Hotword delta rows, memoized per in-progress-word partial: the delta
-    # only depends on the post-last-space characters of the prefix.
-    cs_host = [c for c in range(V) if c != blank_index]
-    hw_add_h = np.zeros((B, P, V - 1), np.float32)
-    hw_memo: dict = {}
-    ln_w = float(np.log(trie.weight)) if trie is not None else 0.0
-
-    def hw_row(partial: str):
-        row = hw_memo.get(partial)
-        if row is None:
-            u0 = trie.units(partial)
-            row = np.empty((V - 1,), np.float32)
-            for j, ci in enumerate(cs_host):
-                ch = labels[ci]
-                if ch == ' ':
-                    # ln trie.complete(partial): keep credit for a full
-                    # hotword, cancel it otherwise (decoder.py complete()).
-                    row[j] = 0.0 if partial in trie.words else -ln_w * u0
-                else:
-                    row[j] = ln_w * (trie.units(partial + ch) - u0)
-            hw_memo[partial] = row
-        return row
-
     if trie is not None:
+        # Hotword delta rows, memoized per in-progress-word partial (the
+        # delta only depends on the post-last-space chars of the prefix).
+        # Built from the SAME HotwordTrie methods the host DP multiplies
+        # (decoder.py extend()/complete()) so the backends cannot drift.
+        cs_host = [c for c in range(V) if c != blank_index]
+        hw_add_h = np.zeros((B, P, V - 1), np.float32)
+        hw_memo: dict = {}
+
+        def hw_row(partial: str):
+            row = hw_memo.get(partial)
+            if row is None:
+                row = np.asarray(
+                    [ln(trie.complete(partial)) if labels[ci] == ' '
+                     else ln(trie.extend(partial, labels[ci]))
+                     for ci in cs_host], np.float32)
+                hw_memo[partial] = row
+            return row
+
         # The root prefix '' is live before the first frame: its
         # extensions already earn first-character credit (host DP applies
         # trie.extend('', c) at t=1).

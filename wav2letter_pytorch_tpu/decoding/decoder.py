@@ -499,7 +499,7 @@ class PrefixBeamSearchLMDecoder(Decoder):
         the winning hypothesis back to the same probabilities
         (decoding.forced_align) — exact, since every beam prefix is the
         emission of at least one feasible CTC path. ``sizes`` truncates
-        each sample before decode+alignment on this path.
+        each sample before decode (and alignment).
         """
         probs = np.asarray(probs)
         if probs.ndim == 2:
@@ -519,11 +519,11 @@ class PrefixBeamSearchLMDecoder(Decoder):
             return text, _beam_offsets(probs, text, self.labels,
                                        self.blank_index)
         if probs.ndim == 3:
+            rows = [probs[b] if sizes is None else probs[b, :int(sizes[b])]
+                    for b in range(probs.shape[0])]
             if not return_offsets:
-                return [self.decode(p) for p in probs]
-            pairs = [self.decode(
-                probs[b] if sizes is None else probs[b, :int(sizes[b])],
-                return_offsets=True) for b in range(probs.shape[0])]
+                return [self.decode(p) for p in rows]
+            pairs = [self.decode(p, return_offsets=True) for p in rows]
             return [p[0] for p in pairs], [p[1] for p in pairs]
         raise RuntimeError(
             f'Decoding with wrong shape: {probs.shape}, expected '

@@ -104,7 +104,6 @@ class StreamMultiplexer:
     def feed(self, slot: int, audio) -> None:
         """Buffer audio for ``slot``; primes the slot once enough has
         arrived (scattering fresh state rows into the batch)."""
-        import jax
         if not self._active[slot]:
             raise ValueError(f'slot {slot} is not attached')
         self._buf[slot] = np.concatenate(
