@@ -2,13 +2,15 @@
 """Jasper-family serving latency/throughput on the ambient accelerator.
 
 Companion to serving_latency.py (which covers the Wav2Letter flagship):
-the full 15-block separable Jasper at its real widths — batch-32 offline
-inference throughput plus streaming step latency at 1 and 16 streams for
-f32 / int8 / int8_full weights. Writes benchmarks/jasper_serving.json.
+the full separable Jasper (or QuartzNet, --model quartznet) at its real
+widths — batch-32 offline inference throughput plus streaming step
+latency at 1 and 16 streams for f32 / int8 / int8_full weights. Writes
+benchmarks/<model>_serving.json.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -34,7 +36,11 @@ def _timeit(fn, sync, reps=20, warmup=3):
     return (time.perf_counter() - t0) / reps
 
 
-def main():
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--model', choices=['jasper', 'quartznet'],
+                   default='jasper')
+    args = p.parse_args(argv)
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -45,12 +51,14 @@ def main():
     from wav2letter_pytorch_tpu.training import (build_frontend,
                                                  build_labels, build_model)
 
+    n_blocks = {'jasper': 15, 'quartznet': 18}[args.model]
     cfg = load_config(['data.train_manifest=u', 'data.val_manifest=u',
-                       'model=jasper', 'model.mid_layers=15'])
+                       f'model={args.model}',
+                       f'model.mid_layers={n_blocks}'])
     labels = build_labels(cfg.model)
     model = build_model(cfg.model, num_labels=len(labels))
     frontend = build_frontend(cfg.model, dither=0.0)
-    blocks = [dict(b) for b in cfg.model.jasper_blocks][:15]
+    blocks = [dict(b) for b in cfg.model.jasper_blocks][:n_blocks]
 
     rng = np.random.default_rng(0)
     t_samples = SECONDS * SR
@@ -107,7 +115,8 @@ def main():
             stream[mode][f'streams_per_chip_b{B}'] = int(
                 B * CHUNK_FRAMES * 10 / ms)
 
-    out = {'metric': 'jasper15_serving', 'offline_b32': offline,
+    out = {'metric': f'{args.model}{n_blocks}_serving',
+           'offline_b32': offline,
            'streaming': stream, 'device': str(jax.devices()[0]),
            'note': 'step_ms = per-step DEVICE time (50 chained steps per '
                    'dispatch); add one runtime dispatch per chunk cadence '
@@ -115,7 +124,7 @@ def main():
                    'remote device tunnel). Round-2 numbers were per-call '
                    'and dominated by tunnel RTT.'}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           'jasper_serving.json'), 'w') as f:
+                           f'{args.model}_serving.json'), 'w') as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
