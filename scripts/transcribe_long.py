@@ -114,10 +114,11 @@ def main(argv=None):
         reference_text = ' '.join(texts)
     elif args.audio:
         from wav2letter_pytorch_tpu.data.audio_io import read_audio
+        from wav2letter_pytorch_tpu.data.resample import resample
         audio, sr = read_audio(args.audio)
         if sr != conf.sample_rate:
-            raise SystemExit(f'sample rate {sr} != artifact '
-                             f'{conf.sample_rate}')
+            print(f'resampling {sr} Hz -> artifact rate {conf.sample_rate} Hz')
+            audio = resample(audio, sr, conf.sample_rate)
         audio = np.asarray(audio, np.float32)
     else:
         raise SystemExit('need --audio or --concat-manifest')

@@ -29,6 +29,7 @@ import numpy as np
 
 from . import label_sets
 from .audio_io import audio_info, read_audio
+from .resample import resample, resample_ratio
 
 
 class ManifestDataset:
@@ -48,9 +49,14 @@ class ManifestDataset:
         if 'duration' not in self.df.columns:
             self.df['duration'] = -1.0
         self.sample_rate = int(audio_conf['sample_rate'])
+        # Opt-in rate conversion (audio_conf.resample: true): mismatched
+        # files are polyphase-resampled to ``sample_rate`` on read instead
+        # of rejected. Off by default for parity with the reference's
+        # assert-only behavior (data_loader.py:135-138).
+        self.resample = bool(audio_conf.get('resample', False))
         self.labels = label_sets.resolve_labels(labels)
         self.labels_map = {c: i for i, c in enumerate(self.labels)}
-        if validate_rate and len(self.df):
+        if validate_rate and not self.resample and len(self.df):
             self.validate_sample_rate()
 
     def validate_sample_rate(self):
@@ -73,6 +79,12 @@ class ManifestDataset:
         row = self.df.iloc[index]
         if row.duration and row.duration > 0:
             n = int(row.duration * self.sample_rate)
+        elif self.resample:
+            frames, sr = audio_info(row.audio_filepath)
+            n_native = frames - int(row.offset * sr)
+            # ceil(n * up / down): exact post-resample length (resample.py)
+            up, down = resample_ratio(sr, self.sample_rate)
+            n = -(-n_native * up // down)
         else:
             frames, _ = audio_info(row.audio_filepath)
             n = frames - int(row.offset * self.sample_rate)
@@ -80,7 +92,9 @@ class ManifestDataset:
 
     def __getitem__(self, index: int):
         row = self.df.iloc[index]
-        audio, _ = read_audio(row.audio_filepath, row.duration, row.offset)
+        audio, sr = read_audio(row.audio_filepath, row.duration, row.offset)
+        if self.resample and sr != self.sample_rate:
+            audio = resample(audio, sr, self.sample_rate)
         return audio, self.encode_text(row.text), row.audio_filepath, row.text
 
     def data_channels(self, mel_spec: int | None = None,
