@@ -102,9 +102,25 @@ def test_s16_format(server, sw):  # noqa: F811
     assert c.finish() == _dedicated(sw, q)
 
 
-def test_sample_rate_mismatch_rejected(server):
+def test_mismatched_rate_resampled_server_side(server, sw):  # noqa: F811
+    """A 48 kHz client is accepted: the server's streaming polyphase
+    conversion is chunk-exact, so the FINAL equals a dedicated session fed
+    the one-shot-resampled audio."""
+    from wav2letter_pytorch_tpu.data.resample import resample
+    rng = np.random.default_rng(47)
+    audio48 = _audio(rng, 3 * (sw.prime_samples + 2 * sw.chunk_samples))
+    expected = _dedicated(sw, resample(audio48, 48000, SR))
+    c = StreamClient('127.0.0.1', server.port, sample_rate=48000)
+    assert c.info['input_rate'] == 48000
+    assert c.info['sample_rate'] == SR
+    for i in range(0, len(audio48), 7001):  # odd chunking on the wire
+        c.send(audio48[i:i + 7001])
+    assert c.finish() == expected
+
+
+def test_bad_sample_rate_rejected(server):
     with pytest.raises(RuntimeError, match='sample_rate'):
-        StreamClient('127.0.0.1', server.port, sample_rate=8000)
+        StreamClient('127.0.0.1', server.port, sample_rate=0)
 
 
 def test_capacity_refusal(server, sw):  # noqa: F811

@@ -85,6 +85,36 @@ def test_filter_dc_gain():
         assert abs(h.sum() - up) < 1e-9  # unit DC gain pre-scale
 
 
+@pytest.mark.parametrize('orig,target', STANDARD_PAIRS)
+def test_streaming_matches_oneshot_exactly(orig, target):
+    """Any chunking of the stream reproduces the one-shot conversion
+    bit-for-bit (same dot products, same order) including the flush tail."""
+    from wav2letter_pytorch_tpu.data.resample import StreamingResampler
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(9973) * 0.1).astype(np.float32)
+    ref = resample(x, orig, target)
+    for trial in range(3):
+        sr = StreamingResampler(orig, target)
+        chunks = np.random.default_rng(trial)
+        pieces, i = [], 0
+        while i < len(x):
+            n = int(chunks.integers(1, 600))
+            pieces.append(sr.push(x[i:i + n]))
+            i += n
+        pieces.append(sr.flush())
+        y = np.concatenate(pieces)
+        assert y.shape == ref.shape
+        np.testing.assert_array_equal(y, ref)
+
+
+def test_streaming_identity_passthrough():
+    from wav2letter_pytorch_tpu.data.resample import StreamingResampler
+    sr = StreamingResampler(16000, 16000)
+    x = np.arange(10, dtype=np.float32)
+    np.testing.assert_array_equal(sr.push(x), x)
+    assert len(sr.flush()) == 0
+
+
 def test_dataset_resamples_mismatched_rate(tmp_path):
     """audio_conf.resample=true: an 8 kHz file flows through a 16 kHz
     dataset, doubled in length; sample_meta agrees with __getitem__."""

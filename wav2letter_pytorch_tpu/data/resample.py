@@ -101,3 +101,91 @@ def resample(x: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
         out[valid] = c[qi[valid]]
         y[sel] = out
     return y.astype(np.float32)
+
+
+class StreamingResampler:
+    """Chunk-wise rate conversion with state carried between pushes.
+
+    Produces the exact samples of the one-shot ``resample`` on the
+    concatenated input, regardless of how the stream is chunked — so a
+    serving front door can accept 8/44.1/48 kHz clients against a 16 kHz
+    model with zero train/serve skew. Output ``n`` taps input through
+    sample ``(offset + n*down) // up`` (the filter's look-ahead,
+    ~``10 * max(1, orig/target)`` input samples), so each push emits every
+    output computable so far and ``flush()`` emits the zero-padded tail.
+    """
+
+    def __init__(self, orig_rate: int, target_rate: int):
+        self.orig_rate = int(orig_rate)
+        self.target_rate = int(target_rate)
+        self.identity = self.orig_rate == self.target_rate
+        if self.identity:
+            return
+        self.up, self.down = resample_ratio(orig_rate, target_rate)
+        self._h = design_lowpass(self.up, self.down)
+        self._phases = [self._h[p::self.up] for p in range(self.up)]
+        self._hist = max(len(t) for t in self._phases) - 1  # past taps
+        self._offset = (len(self._h) - 1) // 2
+        self._buf = np.zeros(0, np.float64)  # last _hist input samples
+        self._n_in = 0   # total input samples consumed
+        self._n_out = 0  # total output samples emitted
+
+    def _emit(self, upto_q: int) -> np.ndarray:
+        """Emit outputs whose newest input index q is < upto_q."""
+        # q(n) = (offset + n*down) // up < upto_q  ⇔  n < n_ready
+        n_ready = max((upto_q * self.up - self._offset + self.down - 1)
+                      // self.down, 0)
+        if n_ready <= self._n_out:
+            return np.zeros(0, np.float32)
+        ns = np.arange(self._n_out, n_ready, dtype=np.int64)
+        j = self._offset + ns * self.down
+        r = j % self.up
+        q = j // self.up
+        # self._buf holds input samples [base, n_avail): everything an
+        # output here can touch (q - hist .. q).
+        base = self._n_in - len(self._buf)
+        y = np.empty(len(ns), np.float64)
+        for phase in set(r.tolist()):
+            sel = r == phase
+            taps = self._phases[phase]
+            c = np.convolve(self._buf, taps)
+            ci = q[sel] - base
+            y[sel] = c[ci]
+        # conv of the buffer alone misses contributions of samples older
+        # than base — impossible by construction: q - (len(taps)-1) >= base
+        # for every emitted n (buf keeps _hist = max_taps-1 history).
+        self._n_out = int(n_ready)
+        return y.astype(np.float32)
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed a chunk; returns every newly computable output sample."""
+        samples = np.asarray(samples, np.float64).reshape(-1)
+        if self.identity:
+            return samples.astype(np.float32)
+        self._buf = np.concatenate([self._buf, samples])
+        self._n_in += len(samples)
+        out = self._emit(self._n_in)
+        keep = self._hist + (self._offset // self.up) + 1
+        if len(self._buf) > keep:
+            self._buf = self._buf[-keep:]
+        return out
+
+    def flush(self) -> np.ndarray:
+        """End of stream: emit the remaining look-ahead tail so the total
+        output length equals ``ceil(n_in * up / down)`` (one-shot parity)."""
+        if self.identity:
+            return np.zeros(0, np.float32)
+        n_total = -(-self._n_in * self.up // self.down)
+        if n_total <= self._n_out:
+            return np.zeros(0, np.float32)
+        # Zero-pad far enough that every remaining output's window closes.
+        pad = self._offset // self.up + self.down // self.up + 2
+        self._buf = np.concatenate([self._buf, np.zeros(pad, np.float64)])
+        self._n_in += pad
+        out = self._emit(self._n_in)
+        # The padding can over-run past n_total; clamp to one-shot length.
+        extra = self._n_out - n_total
+        if extra > 0:
+            out = out[:len(out) - extra]
+            self._n_out = n_total
+        return out

@@ -27,11 +27,14 @@ body``:
 
   client -> server
     0x01 HELLO  JSON {"sample_rate": int, "format": "f32"|"s16"}
+                (a sample_rate differing from the model's is accepted:
+                the server converts with a chunk-exact streaming
+                polyphase resampler, data/resample.py)
     0x02 AUDIO  raw little-endian PCM in the declared format
     0x03 END    empty body: all audio sent, flush and return the final
   server -> client
-    0x81 READY    JSON {"slot", "sample_rate", "chunk_samples",
-                        "prime_samples"}
+    0x81 READY    JSON {"slot", "sample_rate", "input_rate",
+                        "chunk_samples", "prime_samples"}
     0x82 PARTIAL  JSON {"text": fresh_suffix}
     0x83 FINAL    JSON {"text": full_transcript}
     0x84 ERROR    JSON {"error": message}  (connection closes after)
@@ -91,10 +94,11 @@ def _decode_audio(body: bytes, fmt: str) -> np.ndarray:
 class _Conn:
     """Per-connection state the tick loop advances."""
 
-    def __init__(self, slot, writer, fmt):
+    def __init__(self, slot, writer, fmt, resampler=None):
         self.slot = slot
         self.writer = writer
         self.fmt = fmt
+        self.resampler = resampler  # StreamingResampler | None (rate match)
         self.sent_chars = 0   # of mux.text(slot) already pushed as PARTIAL
         self.ending = False   # END received; flush + FINAL when drained
         self.done = asyncio.Event()
@@ -169,12 +173,19 @@ class StreamingServer:
                 writer.write(_pack_json(
                     ERROR, {'error': f'unknown format {fmt!r}'}))
                 return
-            if hello.get('sample_rate') != self.sample_rate:
+            client_rate = int(hello.get('sample_rate') or 0)
+            if client_rate <= 0:
                 writer.write(_pack_json(ERROR, {
-                    'error': f'sample_rate {hello.get("sample_rate")} != '
-                             f'model rate {self.sample_rate} '
-                             '(resample client-side)'}))
+                    'error': f'bad sample_rate {hello.get("sample_rate")!r}'}))
                 return
+            resampler = None
+            if client_rate != self.sample_rate:
+                # Rate-mismatched clients are converted server-side with
+                # the stateful polyphase resampler (data/resample.py) —
+                # chunk-exact vs one-shot conversion, so transcripts match
+                # a client that resampled before sending.
+                from ..data.resample import StreamingResampler
+                resampler = StreamingResampler(client_rate, self.sample_rate)
             try:
                 slot = self.mux.attach()
             except RuntimeError:
@@ -182,10 +193,11 @@ class StreamingServer:
                     ERROR, {'error': f'busy: all {self.mux.slots} slots '
                                      'in use'}))
                 return
-            conn = _Conn(slot, writer, fmt)
+            conn = _Conn(slot, writer, fmt, resampler)
             self._conns[slot] = conn
             writer.write(_pack_json(READY, {
                 'slot': slot, 'sample_rate': self.sample_rate,
+                'input_rate': client_rate,
                 'chunk_samples': self.mux.m.chunk_samples,
                 'prime_samples': self.mux.m.prime_samples}))
             await writer.drain()
@@ -199,9 +211,17 @@ class StreamingServer:
                 if ftype == AUDIO:
                     if conn.ending:
                         raise ValueError('AUDIO after END')
-                    self.mux.feed(slot, _decode_audio(body, fmt))
+                    audio = _decode_audio(body, fmt)
+                    if conn.resampler is not None:
+                        audio = conn.resampler.push(audio)
+                    if len(audio):
+                        self.mux.feed(slot, audio)
                     self._push_partial(conn)
                 elif ftype == END:
+                    if conn.resampler is not None:
+                        tail = conn.resampler.flush()
+                        if len(tail):
+                            self.mux.feed(slot, tail)
                     if not self.mux._primed[slot]:
                         self._drop(conn)
                         writer.write(_pack_json(ERROR, {
