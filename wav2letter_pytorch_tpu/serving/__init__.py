@@ -20,6 +20,9 @@ inference stack:
 * ``longform`` — exact overlap-chunked inference for hour-scale audio
   (``LongFormTranscriber``): bounded memory, mesh-parallel windows,
   bit-parity with the one-shot offline stack;
+* ``endpoint`` — live CTC endpointing for continuous streams
+  (``SegmentingTranscriber``): confident-blank end-of-utterance detection,
+  per-segment finals with frame timings, bounded decoder state;
 * ``server`` — dynamic multi-stream batching (``StreamMultiplexer``);
 * ``net`` — the TCP transport over the multiplexer (``StreamingServer``
   + ``StreamClient``): framed live-audio protocol, jitter-tolerant
@@ -28,6 +31,7 @@ inference stack:
 See docs/SERVING.md for the end-to-end guide and measured numbers.
 """
 
+from .endpoint import Segment, SegmentingTranscriber
 from .export import (compute_cmvn, export_serving, export_serving_jasper,
                      load_serving)
 from .infer import offline_forward, offline_forward_q8
@@ -52,4 +56,5 @@ __all__ = ['StreamingWav2Letter', 'StreamingJasper', 'StreamingSession',
            'compute_cmvn', 'MeshInference', 'LongFormTranscriber',
            'longform_logprobs', 'calibrate_activation_scales',
            'StreamMultiplexer', 'StreamingServer', 'StreamClient',
-           'qat_finetune', 'qat_forward']
+           'qat_finetune', 'qat_forward',
+           'Segment', 'SegmentingTranscriber']
