@@ -125,6 +125,47 @@ def test_validates_args():
         SegmentingTranscriber(sess, LABELS, trailing_blank_frames=0)
     with pytest.raises(ValueError):
         SegmentingTranscriber(sess, LABELS, decoder='viterbi')
+    with pytest.raises(ValueError):
+        SegmentingTranscriber(sess, LABELS, max_segment_frames=0)
+
+
+def test_feed_after_finish_raises():
+    st = _seg(_FakeSession([_frames('.a.'), _frames('..')]))
+    st.feed(None)
+    st.finish()
+    with pytest.raises(RuntimeError):
+        st.feed(None)
+    with pytest.raises(RuntimeError):
+        st.finish()
+
+
+def test_max_segment_frames_bounds_pause_free_audio():
+    # 16 pause-free frames, cap at 6: state must split into multiple
+    # segments whose concatenation equals the unsplit greedy decode.
+    spec = 'abcabcabcabcabca'
+    st = _seg(_FakeSession([_frames(spec)]), max_segment_frames=6)
+    st.feed(None)
+    new = st.finish()
+    segs = st.segments[0]
+    assert len(segs) >= 2, 'cap never split a pause-free stream'
+    assert ''.join(s.text for s in segs) == spec  # collapse is identity here
+    # Beam mode: buffered frames per segment stay <= cap.
+    st2 = _seg(_FakeSession([_frames(spec)]), decoder='beam', k=4,
+               max_segment_frames=6)
+    st2.feed(None)
+    st2.finish()
+    assert len(st2.segments[0]) >= 2
+
+
+def test_beam_empty_text_segment_is_dropped():
+    # A segment whose only emission is a space beam-decodes (after strip)
+    # to '' — it must not appear in segments, matching decode_segmented.
+    st = _seg(_FakeSession([_frames('. ...a...')]), decoder='beam', k=4)
+    st.feed(None)
+    st.finish()
+    texts = [s.text for s in st.segments[0]]
+    assert '' not in texts
+    assert 'a' in texts
 
 
 def test_beam_segments_match_offline_beam_per_segment():
@@ -168,11 +209,19 @@ def small_stream():
                             np.array([4000]))
     variables = jax.device_get(model.init(jax.random.PRNGKey(0), feats,
                                           flens, train=False))
-    # Bias the head toward blank so random audio produces confident-blank
-    # runs (realistic emissions: mostly silence, sporadic characters).
+    # Shape the head so emissions are INPUT-driven (a raw random init is
+    # nearly input-independent — r3 advisor: a flat +8 blank bias saturated
+    # p(blank)>=0.998 everywhere and the parity test went vacuous): the
+    # blank logit becomes a pure constant (kernel zeroed, bias +2.0) while
+    # non-blank kernels are amplified 16x, so noisy audio fires sporadic
+    # characters and the silence stretch yields confident-blank runs —
+    # realistic serving emissions through the real conv/streaming path.
     head = variables['params'][f'conv1d_{len(SMALL_LAYERS)}']['Conv_0']
-    head['bias'] = head['bias'] + np.array([8.0] + [0.0] * (len(LABELS) - 1),
-                                           np.float32)
+    kernel = np.asarray(head['kernel']).copy()
+    kernel[..., 0] = 0.0
+    kernel[..., 1:] *= 16.0
+    head['kernel'] = kernel
+    head['bias'] = np.array([2.0] + [0.0] * (len(LABELS) - 1), np.float32)
     return StreamingWav2Letter(SMALL_LAYERS, len(LABELS), variables,
                                frontend, chunk_frames=16,
                                norm='precomputed',

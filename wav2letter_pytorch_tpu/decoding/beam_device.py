@@ -462,12 +462,19 @@ class DeviceBeamDecoder:
     per-step host round-trips (cheaper over a remote device tunnel).
     """
 
-    def __init__(self, labels, blank_index: int = 0, k: int = 5,
-                 alpha: float = 0.3, beta: float = 5.0, prune: float = 1e-3,
+    def __init__(self, labels, blank_index: int = 0, k: int = None,
+                 alpha: float = None, beta: float = None, prune: float = None,
                  lm_path: str = '', n_best: int = 8,
                  lm_mode: str = 'fused', hotwords=None,
                  hotword_weight: float = 2.0):
-        from .decoder import Decoder, HotwordTrie
+        from .decoder import (DEFAULT_BEAM_ALPHA, DEFAULT_BEAM_BETA,
+                              DEFAULT_BEAM_K, DEFAULT_BEAM_PRUNE, Decoder,
+                              HotwordTrie)
+        # Defaults follow the corpus-sweep winners (DEFAULT_BEAM_*).
+        k = DEFAULT_BEAM_K if k is None else k
+        alpha = DEFAULT_BEAM_ALPHA if alpha is None else alpha
+        beta = DEFAULT_BEAM_BETA if beta is None else beta
+        prune = DEFAULT_BEAM_PRUNE if prune is None else prune
         self._base = Decoder(list(labels), blank_index)
         self.labels = self._base.labels
         self.blank_index = blank_index

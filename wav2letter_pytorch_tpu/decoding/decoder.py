@@ -27,6 +27,21 @@ from ..data.label_sets import resolve_labels
 
 _WORD_RE = re.compile(r'\w+[\s|>]')
 
+# Default beam hyperparameters for the user-facing decoders/transcribers,
+# selected by the full-depth corpus sweep (benchmarks/beam_sweep.py ->
+# benchmarks/beam_sweep_corpus.json): alpha's winning plateau is [0.1, 0.2]
+# while k and beta are flat across the whole grid, so beam+LM beats greedy
+# at these values (4.46% vs 5.18% test WER on the sweep artifact). The
+# reference's inherited defaults (k=5, alpha=0.3, beta=5 — decoder.py:236)
+# LOSE to greedy; the low-level ``prefix_beam_search`` function keeps them
+# for algorithm parity, but every class-level surface uses these. Without
+# an LM, beam ~= greedy is EXPECTED (alpha is moot and beta=0 removes the
+# word-count bonus; beam can only reshuffle mass between equal-text paths).
+DEFAULT_BEAM_K = 8
+DEFAULT_BEAM_ALPHA = 0.15
+DEFAULT_BEAM_BETA = 0.0
+DEFAULT_BEAM_PRUNE = 1e-3
+
 
 def _native_greedy_collapse(sequence, size: int, blank_index: int):
     """(ids, offsets) via native/greedy.cpp, or None when unavailable."""
@@ -444,10 +459,14 @@ class PrefixBeamSearchLMDecoder(Decoder):
 
     Args mirror /root/reference/decoder.py:235-257. ``lm_path`` may be empty
     (no LM); kenlm is imported lazily so the dependency is optional.
+    Hyperparameter defaults are the corpus-sweep winners (DEFAULT_BEAM_*,
+    see the module-level note), not the reference's greedy-losing ones.
     """
 
-    def __init__(self, lm_path, labels, blank_index: int = 0, k: int = 5,
-                 alpha: float = 0.3, beta: float = 5, prune: float = 1e-3,
+    def __init__(self, lm_path, labels, blank_index: int = 0,
+                 k: int = DEFAULT_BEAM_K, alpha: float = DEFAULT_BEAM_ALPHA,
+                 beta: float = DEFAULT_BEAM_BETA,
+                 prune: float = DEFAULT_BEAM_PRUNE,
                  backend: str = 'auto', hotwords=None,
                  hotword_weight: float = 2.0):
         """``backend``: 'auto' uses the C++ search + native ARPA scorer when

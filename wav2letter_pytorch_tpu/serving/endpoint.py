@@ -63,26 +63,44 @@ class SegmentingTranscriber:
     greedy emission stream: a segment exists once any non-blank argmax
     character appears, and closes after ``trailing_blank_frames``
     consecutive frames with p(blank) >= ``blank_threshold``. Pure silence
-    between utterances never produces empty segments.
+    between utterances never produces empty segments, and beam segments
+    whose decode strips to the empty string are dropped (matching offline
+    ``decode_segmented``). Pause-free audio cannot grow state unboundedly:
+    a segment is force-finalized once it spans ``max_segment_frames``
+    output frames (the online analogue of ``blank_segments(max_frames=...)``
+    in longform.py) — greedy concatenation stays exact across such splits
+    because the repeat-collapse carry survives them.
     """
 
     def __init__(self, session, labels, blank_threshold: float = 0.98,
                  trailing_blank_frames: int = 30, decoder: str = 'greedy',
-                 lm_path: str = '', k: int = 5, alpha: float = 0.3,
-                 beta: float = 5, prune: float = 0.001, hotwords=None,
-                 hotword_weight: float = 2.0):
+                 lm_path: str = '', k: int = None, alpha: float = None,
+                 beta: float = None, prune: float = None, hotwords=None,
+                 hotword_weight: float = 2.0,
+                 max_segment_frames: int = 1200):
+        # Beam hyperparameters default to the corpus-sweep winners
+        # (decoding.decoder.DEFAULT_BEAM_*).
+        from ..decoding.decoder import (DEFAULT_BEAM_ALPHA, DEFAULT_BEAM_BETA,
+                                        DEFAULT_BEAM_K, DEFAULT_BEAM_PRUNE)
+        k = DEFAULT_BEAM_K if k is None else k
+        alpha = DEFAULT_BEAM_ALPHA if alpha is None else alpha
+        beta = DEFAULT_BEAM_BETA if beta is None else beta
+        prune = DEFAULT_BEAM_PRUNE if prune is None else prune
         if not 0.5 <= blank_threshold <= 1.0:
             raise ValueError('blank_threshold must lie in [0.5, 1] so that '
                              'silence frames are argmax-blank (greedy '
                              'concatenation parity depends on it)')
         if trailing_blank_frames < 1:
             raise ValueError('trailing_blank_frames must be >= 1')
+        if max_segment_frames < 1:
+            raise ValueError('max_segment_frames must be >= 1')
         if decoder not in ('greedy', 'beam'):
             raise ValueError(f'unknown decoder mode: {decoder!r}')
         self.session = session
         self.labels = list(labels)
         self.blank_threshold = float(blank_threshold)
         self.trailing = int(trailing_blank_frames)
+        self.max_segment_frames = int(max_segment_frames)
         self.mode = decoder
         # Jasper sessions emit probabilities; Wav2Letter log-probs.
         self._emits_probs = getattr(session.m, 'emits_probs', False)
@@ -118,17 +136,22 @@ class SegmentingTranscriber:
         beam.step(np.stack(frames))
         return beam.result().strip()
 
-    def _finalize(self, b: int) -> Segment:
+    def _finalize(self, b: int) -> Optional[Segment]:
         if self.mode == 'beam':
             text = self._beam_decode(self._buf[b])
         else:
             text = ''.join(self._chars[b])
-        seg = Segment(text, int(self._start[b]), int(self._end[b]))
-        self._segments[b].append(seg)
+        start, end = self._start[b], self._end[b]
         self._chars[b] = []
         self._buf[b] = []
         self._start[b] = None
         self._run[b] = 0
+        if not text:
+            # Beam on a space-only/empty segment can strip to nothing —
+            # match offline decode_segmented, which drops empty texts.
+            return None
+        seg = Segment(text, int(start), int(end))
+        self._segments[b].append(seg)
         return seg
 
     def _consume(self, out, valid=None):
@@ -155,7 +178,19 @@ class SegmentingTranscriber:
                 if silence[b, t]:
                     self._run[b] += 1
                     if self._run[b] >= self.trailing and self._chars[b]:
-                        new[b].append(self._finalize(b))
+                        seg = self._finalize(b)
+                        if seg is not None:
+                            new[b].append(seg)
+                elif (self._start[b] is not None
+                      and g + 1 - self._start[b] >= self.max_segment_frames):
+                    # Pause-free audio: force-finalize so per-stream state
+                    # (beam buffer, DP precision) stays bounded — the online
+                    # analogue of longform.blank_segments' max_frames split.
+                    # Greedy concatenation stays exact: the repeat-collapse
+                    # carry (_last) survives the split.
+                    seg = self._finalize(b)
+                    if seg is not None:
+                        new[b].append(seg)
                 else:
                     self._run[b] = 0
             self._frame[b] += n
@@ -166,17 +201,23 @@ class SegmentingTranscriber:
     def feed(self, audio):
         """Feed an audio chunk; returns the NEWLY finalized segments per
         stream (usually empty lists — finals appear at detected pauses)."""
+        if self._finished:
+            raise RuntimeError('SegmentingTranscriber already finished')
         return self._consume(self.session.feed(audio))
 
     def finish(self, lengths=None):
         """Flush the session; any in-progress segment is finalized. Returns
         the newly finalized segments per stream."""
+        if self._finished:
+            raise RuntimeError('SegmentingTranscriber already finished')
         out, valid = self.session.finish(lengths)
         new = self._consume(out, valid)
         self._finished = True
         for b in range(self.session.B):
             if self._chars[b]:
-                new[b].append(self._finalize(b))
+                seg = self._finalize(b)
+                if seg is not None:
+                    new[b].append(seg)
         return new
 
     @property

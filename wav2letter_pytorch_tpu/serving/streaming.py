@@ -656,14 +656,21 @@ class StreamingBeamTranscriber:
     decoder.py:147-233 semantics)."""
 
     def __init__(self, session: StreamingSession, labels, lm_path: str = '',
-                 k: int = 5, alpha: float = 0.3, beta: float = 5,
-                 prune: float = 0.001, hotwords=None,
+                 k: int = None, alpha: float = None, beta: float = None,
+                 prune: float = None, hotwords=None,
                  hotword_weight: float = 2.0):
         """``hotwords``: contextual-biasing words/phrases applied inside
         the incremental DP (decoding.HotwordTrie partial-credit fusion) —
         per-stream vocabularies bias live transcription without
-        retraining."""
-        from ..decoding.decoder import IncrementalPrefixBeam
+        retraining. k/alpha/beta/prune default (None) to the corpus-sweep
+        winners (decoding.decoder.DEFAULT_BEAM_*)."""
+        from ..decoding.decoder import (DEFAULT_BEAM_ALPHA, DEFAULT_BEAM_BETA,
+                                        DEFAULT_BEAM_K, DEFAULT_BEAM_PRUNE,
+                                        IncrementalPrefixBeam)
+        k = DEFAULT_BEAM_K if k is None else k
+        alpha = DEFAULT_BEAM_ALPHA if alpha is None else alpha
+        beta = DEFAULT_BEAM_BETA if beta is None else beta
+        prune = DEFAULT_BEAM_PRUNE if prune is None else prune
         lm = None
         if lm_path:
             from ..decoding.arpa_lm import load_lm
