@@ -266,7 +266,8 @@ def write_utt(path, audio, sr, use_wav):
 
 
 def build_split(root, split, n, sr, seed, use_wav,
-                snr_range=(18.0, 38.0), lang='english'):
+                snr_range=(18.0, 38.0), lang='english',
+                min_duration=0.0):
     import pandas as pd
     rng = np.random.default_rng(seed)
     d = os.path.join(root, split)
@@ -278,6 +279,13 @@ def build_split(root, split, n, sr, seed, use_wav,
         text = make_sentence(rng, words)
         audio = render_utterance(text, sr, rng, snr_range=snr_range,
                                  phone_map=phone_map)
+        # --min-duration: extend the sentence until the rendered audio is
+        # long enough (e.g. past a streamer's prime window, so streaming
+        # evals genuinely stream instead of taking the offline fallback).
+        while min_duration and audio.shape[0] < min_duration * sr:
+            text = text + ' ' + make_sentence(rng, words)
+            audio = render_utterance(text, sr, rng, snr_range=snr_range,
+                                     phone_map=phone_map)
         path = os.path.abspath(os.path.join(d, f'utt{i}.{ext}'))
         write_utt(path, audio, sr, use_wav)
         rows.append((path, text))
@@ -307,6 +315,11 @@ def main(argv=None):
     parser.add_argument('--lang', default='english', choices=sorted(LANG_TABLES),
                         help='transcript language (hebrew exercises the '
                              'hebrew label set incl. final letter forms)')
+    parser.add_argument('--min-duration', type=float, default=0.0,
+                        help='minimum utterance length in seconds; short '
+                             'draws are extended with more words (w2l-20 '
+                             'streaming prime window is 4.22 s — use ~6 '
+                             'for streaming evals that actually stream)')
     args = parser.parse_args(argv)
     lo, hi = (float(x) for x in args.snr_db.split(','))
     wanted = {x.strip() for x in args.splits.split(',') if x.strip()}
@@ -318,7 +331,8 @@ def main(argv=None):
             continue
         manifests[split] = build_split(args.root, split, n, args.sample_rate,
                                        seed, args.wav, snr_range=(lo, hi),
-                                       lang=args.lang)
+                                       lang=args.lang,
+                                       min_duration=args.min_duration)
         print(f'{split}: {manifests[split]}')
     return 0
 

@@ -61,6 +61,41 @@ def main(include_dryrun: bool = True):
               f'T={T} S={S} block_b={block_b}: |dv|={dv:.2e} '
               f'|dg|max={dg:.2e}')
 
+    # --- Pallas depthwise conv vs lax grouped conv, compiled -------------
+    # Fwd + both grads over the structural corners of the Jasper/QuartzNet
+    # geometries (odd/even K, stride 2, dilation 2, C=64 first block).
+    from wav2letter_pytorch_tpu.models.jasper import get_same_padding
+    from wav2letter_pytorch_tpu.ops.depthwise_pallas import (
+        depthwise_conv1d, depthwise_conv1d_xla)
+    dw_grid = [  # (B, T, C, K, stride, dilation)
+        (4, 400, 256, 33, 1, 1),
+        (4, 400, 512, 74, 1, 1),
+        (4, 801, 64, 33, 2, 1),
+        (2, 400, 512, 87, 1, 2),
+    ]
+    for B, T, C, K, s, d in dw_grid:
+        p = get_same_padding(K, s, d)
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        w = jnp.asarray(
+            (rng.standard_normal((K, C)) * 0.1).astype(np.float32))
+
+        def _loss(fn):
+            return lambda x, w: jnp.sum(jnp.sin(fn(x, w, s, d, p)))
+
+        y_p = jax.jit(lambda x, w: depthwise_conv1d(x, w, s, d, p))(x, w)
+        y_x = jax.jit(lambda x, w: depthwise_conv1d_xla(x, w, s, d, p))(x, w)
+        gx_p, gw_p = jax.jit(jax.grad(_loss(depthwise_conv1d),
+                                      argnums=(0, 1)))(x, w)
+        gx_x, gw_x = jax.jit(jax.grad(_loss(depthwise_conv1d_xla),
+                                      argnums=(0, 1)))(x, w)
+        dy = float(jnp.abs(y_p - y_x).max())
+        dgx = float(jnp.abs(gx_p - gx_x).max())
+        dgw = float(jnp.abs(gw_p - gw_x).max())
+        ok = dy < 1e-4 and dgx < 1e-4 and dgw < 2e-3  # dw sums B*T terms
+        failures += not ok
+        print(f'[{"OK" if ok else "FAIL"}] pallas depthwise K={K} C={C} '
+              f's={s} d={d}: |dy|={dy:.2e} |dgx|={dgx:.2e} |dgw|={dgw:.2e}')
+
     # --- frontend conv vs matmul vs fft vs pallas, compiled --------------
     # Grid: 16 kHz default, 8 kHz telephony (n_fft 256), and a non-default
     # hop — every frontend geometry reachable from shipped configs.

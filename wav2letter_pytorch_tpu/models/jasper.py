@@ -22,6 +22,7 @@ depthwise conv (XLA vectorizes on the VPU) + a pointwise GEMM on the MXU.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -50,6 +51,37 @@ def get_same_padding(kernel_size: int, stride: int, dilation: int) -> int:
     if dilation > 1:
         return (dilation * kernel_size) // 2 - 1
     return kernel_size // 2
+
+
+def _use_pallas_depthwise() -> bool:
+    """Depthwise-conv backend switch (``W2L_DEPTHWISE=xla|pallas``).
+
+    Measured on-chip (benchmarks/dw_probe.json): the standalone Pallas
+    kernel is competitive per-op, but the runtime pays a large fixed cost
+    per kernel launch, so adding launches (pad/phase prologues + opaque
+    pallas_call that XLA cannot fuse into) makes the END-TO-END jasper
+    step slower than XLA's own grouped-conv lowering at batch 32
+    (jasper_train_breakdown.json: 24.3 ms vs 12.8 ms fwd+bwd). Default is
+    therefore the XLA path; the launch-count fix is the fused
+    mask+depthwise+pointwise kernel (ops/sep_conv_pallas.py)."""
+    mode = os.environ.get('W2L_DEPTHWISE', 'auto')
+    if mode == 'pallas':
+        return True
+    return False
+
+
+class _DWKernelParam(nn.Module):
+    """Parameter-only stand-in for the anonymous ``nn.Conv`` it replaces:
+    registers the same ``kernel`` param (name, shape [K, 1, C], init) under
+    the same auto-name ('Conv_0'), so checkpoints and torch imports are
+    interchangeable between the XLA and Pallas depthwise paths."""
+    kshape: tuple[int, int, int]
+    init_mode: str
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', conv_initializer(self.init_mode),
+                          self.kshape, jnp.float32)
 
 
 def group_shuffle(x, groups: int):
@@ -94,6 +126,21 @@ class MaskedConv(nn.Module):
             lens = self.out_length(jnp.asarray(lens, jnp.float32))
 
         features, groups = self.features, self.groups
+        if (self.kernel_size > 1 and self.heads == -1 and not self.use_bias
+                and groups == features == x.shape[-1]
+                and _use_pallas_depthwise()):
+            # Depthwise: Pallas K-tap FMA kernel (ops/depthwise_pallas.py)
+            # in place of XLA's generic grouped-conv lowering.
+            from ..ops.depthwise_pallas import depthwise_conv1d
+            kernel = _DWKernelParam((self.kernel_size, 1, features),
+                                    self.init_mode, name='Conv_0')()
+            w = kernel[:, 0, :]
+            if self.dtype is not None:
+                x, w = x.astype(self.dtype), w.astype(self.dtype)
+            x = depthwise_conv1d(x, w, self.stride, self.dilation,
+                                 self.padding)
+            return x, lens
+
         if self.heads != -1:
             # Fold channel blocks into batch: [B, T, C] -> [B*C/heads, T, heads]
             B, T, C = x.shape
