@@ -96,6 +96,46 @@ def main(include_dryrun: bool = True):
         print(f'[{"OK" if ok else "FAIL"}] pallas depthwise K={K} C={C} '
               f's={s} d={d}: |dy|={dy:.2e} |dgx|={dgx:.2e} |dgw|={dgw:.2e}')
 
+    # --- fused separable-unit kernel vs two-conv reference, compiled -----
+    from wav2letter_pytorch_tpu.ops.sep_conv_pallas import (sep_conv1d,
+                                                            sep_conv1d_xla)
+    sep_grid = [  # (B, T, Cin, Cout, K, dilation)
+        (4, 400, 256, 256, 33, 1),
+        (4, 400, 512, 512, 74, 1),
+        (2, 400, 512, 512, 87, 2),
+    ]
+    for B, T, Cin, Cout, K, d in sep_grid:
+        p = get_same_padding(K, 1, d)
+        x = jnp.asarray(rng.standard_normal((B, T, Cin)).astype(np.float32))
+        wd = jnp.asarray(
+            (rng.standard_normal((K, Cin)) * 0.1).astype(np.float32))
+        wp = jnp.asarray(
+            (rng.standard_normal((Cin, Cout)) * 0.05).astype(np.float32))
+        lens = jnp.asarray(rng.integers(T // 2, T + 1, size=(B,)),
+                           jnp.float32)
+
+        def _sloss(fn):
+            return lambda x, a, b2: jnp.sum(jnp.sin(
+                fn(x, lens, a, b2, d, p, True) * 0.1))
+
+        y_p = jax.jit(lambda x, a, b2: sep_conv1d(x, lens, a, b2, d, p,
+                                                  True))(x, wd, wp)
+        y_x = jax.jit(lambda x, a, b2: sep_conv1d_xla(x, lens, a, b2, d, p,
+                                                      True))(x, wd, wp)
+        gp = jax.jit(jax.grad(_sloss(sep_conv1d), argnums=(0, 1, 2)))(
+            x, wd, wp)
+        gx = jax.jit(jax.grad(_sloss(sep_conv1d_xla), argnums=(0, 1, 2)))(
+            x, wd, wp)
+        dy = float(jnp.abs(y_p - y_x).max())
+        dgs = [float(jnp.abs(a - b2).max()) for a, b2 in zip(gp, gx)]
+        # MXU bf16-pass rounding on the pointwise GEMM: tolerances match
+        # the default-precision contract, not f32 exactness.
+        ok = dy < 5e-2 and all(g2 < 5e-2 for g2 in dgs)
+        failures += not ok
+        print(f'[{"OK" if ok else "FAIL"}] fused sep-conv K={K} Cin={Cin} '
+              f'Cout={Cout} d={d}: |dy|={dy:.2e} '
+              f'|dgs|={[f"{g2:.2e}" for g2 in dgs]}')
+
     # --- frontend conv vs matmul vs fft vs pallas, compiled --------------
     # Grid: 16 kHz default, 8 kHz telephony (n_fft 256), and a non-default
     # hop — every frontend geometry reachable from shipped configs.

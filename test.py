@@ -85,6 +85,13 @@ def main(argv=None):
     parser.add_argument('--streaming-chunk-frames', type=int, default=64,
                         help='streaming chunk size in STFT frames (64 = '
                              '640 ms at the default 10 ms hop)')
+    parser.add_argument('--lookahead-frames', type=int, default=0,
+                        help='with --streaming: bounded-lookahead mode '
+                             '(serving/lookahead.py) — commit outputs '
+                             'after this many frames of future context '
+                             'instead of the model\'s full receptive '
+                             'field (96 = 0.96 s at 10 ms hop); measures '
+                             'the latency/WER trade')
     parser.add_argument('--int8', action='store_true',
                         help='weight-only int8 quantized inference '
                              '(streaming mode only)')
@@ -227,6 +234,9 @@ def main(argv=None):
         print('WARNING: no checkpoint found; evaluating random init',
               file=sys.stderr)
 
+    if args.streaming and args.lookahead_frames:
+        return run_bounded_streaming_eval(args, cfg, trainer, model,
+                                          decoder, labels, ds)
     if args.streaming:
         return run_streaming_eval(args, cfg, trainer, model, frontend,
                                   decoder, labels, ds, beam_params)
@@ -599,6 +609,66 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
     result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
               'offline_fallback': n_fallback,
               'weights': 'int8' if args.int8 else 'f32'}
+    result.update(acc.ratios())
+    print(json.dumps(result))
+    return 0
+
+
+def run_bounded_streaming_eval(args, cfg, trainer, model, decoder, labels,
+                               ds):
+    """Bounded-lookahead streaming eval (serving/lookahead.py): commits
+    outputs after --lookahead-frames of future context — the latency/WER
+    trade the exact-parity streamer cannot make (its lookahead is the
+    model's full one-sided receptive field)."""
+    import jax
+    from wav2letter_pytorch_tpu.serving.lookahead import (
+        BoundedLookaheadStreamer, bounded_stream_logprobs,
+        _conv_specs_jasper, _conv_specs_w2l)
+    from wav2letter_pytorch_tpu.training import build_frontend
+    from wav2letter_pytorch_tpu.training.metrics import RatioAccumulator
+
+    variables = {'params': jax.device_get(trainer.state.params),
+                 'batch_stats': jax.device_get(trainer.state.batch_stats)}
+    emits_probs = str(cfg.model.name) == 'jasper'
+    mid = int(cfg.model.mid_layers)
+    if emits_probs:
+        specs = _conv_specs_jasper(
+            [dict(b) for b in cfg.model.jasper_blocks][:mid])
+    else:
+        specs = _conv_specs_w2l([dict(l) for l in cfg.model.layers][:mid])
+    scale = int(model.scaling_factor)
+    la = -(-int(args.lookahead_frames) // scale) * scale
+    sw = BoundedLookaheadStreamer(
+        model, variables, build_frontend(cfg.model, dither=0.0), specs,
+        chunk_frames=args.streaming_chunk_frames, lookahead_frames=la)
+    sr = int(cfg.model.audio_conf.sample_rate)
+    hop_s = float(cfg.model.audio_conf.window_stride)
+    print(f'bounded-lookahead streaming: lookahead {la * hop_s:.2f}s, '
+          f'chunk {args.streaming_chunk_frames * hop_s:.2f}s, window '
+          f'{sw.window_frames} frames '
+          f'({sw.window_frames / args.streaming_chunk_frames:.1f}x offline '
+          'compute)', file=sys.stderr)
+    acc = RatioAccumulator()
+    dump = _UttDump(args.dump_jsonl)
+    for i in range(len(ds)):
+        audio, _, upath, text = ds[i]
+        audio = np.asarray(audio, np.float32)[None, :]
+        out = bounded_stream_logprobs(sw, audio)
+        logp = np.log(np.maximum(out, 1e-30)) if emits_probs else out
+        decoded = decoder.decode(logp)[0]
+        c, cd = decoder.cer_ratio(text, decoded)
+        w, wd = decoder.wer_ratio(text, decoded)
+        acc.add('cer', c, cd)
+        acc.add('wer', w, wd)
+        dump.add(upath, text, decoded, w, wd, c, cd)
+        if args.print_all or (args.print_samples and i == 0):
+            print(f'reference: {text}')
+            print(f'decoded  : {decoded}')
+    dump.close()
+    result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
+              'bounded_lookahead_frames': la,
+              'bounded_lookahead_seconds': round(la * hop_s, 3),
+              'window_frames': sw.window_frames}
     result.update(acc.ratios())
     print(json.dumps(result))
     return 0

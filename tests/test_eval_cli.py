@@ -77,6 +77,24 @@ def test_eval_cli_streaming(trained_run, capsys):
     assert 'timings' in out
 
 
+def test_eval_cli_bounded_lookahead(trained_run, capsys):
+    """--streaming --lookahead-frames N: bounded-lookahead commit mode
+    (serving/lookahead.py) reports its latency knobs alongside WER."""
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--streaming', '--streaming-chunk-frames', '8',
+                        '--lookahead-frames', '8'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    result = json.loads(out.strip().splitlines()[-1])
+    assert result['streaming'] is True
+    assert result['bounded_lookahead_frames'] >= 8
+    assert result['num_utterances'] == 6
+    assert 'wer' in result and 'cer' in result
+
+
 def test_eval_cli_streaming_int8(trained_run, capsys):
     run_dir, manifest = trained_run
     import test as test_cli

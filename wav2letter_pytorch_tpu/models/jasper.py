@@ -84,6 +84,31 @@ class _DWKernelParam(nn.Module):
                           self.kshape, jnp.float32)
 
 
+class _ConvParamShell(nn.Module):
+    """Registers ``<name>/Conv_0/kernel`` exactly where a MaskedConv
+    submodule would, for fused paths that bypass the MaskedConv modules
+    while keeping the checkpoint tree identical."""
+    kshape: tuple[int, int, int]
+    init_mode: str
+
+    @nn.compact
+    def __call__(self):
+        return _DWKernelParam(self.kshape, self.init_mode, name='Conv_0')()
+
+
+def _use_sep_pallas() -> bool:
+    """Fused separable-unit kernel switch (``W2L_SEPCONV=pallas`` opts in).
+
+    Measured on this chip the fused kernel still trails XLA's lowering
+    end-to-end (jasper-15 fwd+bwd 25.8 ms vs 12.8 ms at B=32,
+    jasper_train_breakdown.json): Mosaic schedules the in-kernel VPU tap
+    loops and MXU GEMMs sequentially and the unaligned time-dim tap
+    slices lower to per-tap vector shifts, while XLA overlaps its
+    (more numerous but individually leaner) kernels. Kept as an opt-in
+    backend + parity-tested reference for future Mosaic revisions."""
+    return os.environ.get('W2L_SEPCONV', '') == 'pallas'
+
+
 def group_shuffle(x, groups: int):
     """Interleave channels across groups. x: [B, T, C], C = groups * cpg."""
     B, T, C = x.shape
@@ -220,6 +245,28 @@ class JasperBlock(nn.Module):
         groups = self.groups if groups is None else groups
         heads = self.heads if heads is None else heads
         pad = get_same_padding(kernel, stride, dilation)
+        if (self.separable and kernel > 1 and stride == 1 and heads == -1
+                and groups == 1 and _use_sep_pallas()):
+            # Fused mask->depthwise->mask->pointwise Pallas kernel
+            # (ops/sep_conv_pallas.py); parameter tree identical to the
+            # two-MaskedConv path below.
+            from ..ops.sep_conv_pallas import sep_conv1d
+            cin = x.shape[-1]
+            wdw = _ConvParamShell((kernel, 1, cin), self.init_mode,
+                                  name=f'{idx}_dw')()[:, 0, :]
+            wpw = _ConvParamShell((1, cin, out_ch), self.init_mode,
+                                  name=f'{idx}_pw')()[0]
+            xin = x if self.dtype is None else x.astype(self.dtype)
+            x = sep_conv1d(xin, lens if self.conv_mask else None, wdw, wpw,
+                           dilation, pad, use_mask=self.conv_mask)
+            if self.conv_mask and lens is not None:
+                # the two MaskedConv out_length updates (dw then 1x1 pw)
+                lens = (jnp.asarray(lens, jnp.float32) + 2 * pad
+                        - dilation * (kernel - 1) - 1) + 1
+            x = self._norm(x, f'{idx}_norm', train=train)
+            if groups > 1:
+                x = group_shuffle(x, groups)
+            return x, lens
         if self.separable and kernel > 1:
             x, lens = MaskedConv(features=x.shape[-1], kernel_size=kernel,
                                  stride=stride, dilation=dilation,
