@@ -42,7 +42,14 @@ def main(argv=None):
     parser.add_argument('--epochs', type=int, default=60)
     parser.add_argument('--batch-size', type=int, default=16)
     parser.add_argument('--lr', type=float, default=2e-3)
-    parser.add_argument('--mid-layers', type=int, default=20)
+    parser.add_argument('--model', choices=['wav2letter', 'jasper',
+                                            'quartznet'],
+                        default='wav2letter',
+                        help='model config group (jasper/quartznet run '
+                             'the same pipeline on the separable family)')
+    parser.add_argument('--mid-layers', type=int, default=None,
+                        help='defaults to the full stack: 20 (wav2letter), '
+                             '15 (jasper), 18 (quartznet)')
     parser.add_argument('--labels', default='english_lowercase',
                         help='label set (e.g. hebrew for a --lang hebrew '
                              'corpus from make_offline_corpus.py)')
@@ -62,13 +69,16 @@ def main(argv=None):
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
+    if args.mid_layers is None:
+        args.mid_layers = {'wav2letter': 20, 'jasper': 15,
+                           'quartznet': 18}[args.model]
     root = args.corpus_root
     manifests = {s: os.path.join(root, f'{s}_manifest.csv')
                  for s in ('train', 'val', 'test')}
     results = {
         'pipeline': 'make_offline_corpus (FLAC) -> train.py -> test.py '
                     '-> serving artifact',
-        'model': f'wav2letter mid_layers={args.mid_layers}',
+        'model': f'{args.model} mid_layers={args.mid_layers}',
         'labels': args.labels,
         'optimizer': f'novograd lr={args.lr}', 'augment': 'spec_augment',
         'epochs': args.epochs, 'batch_size': args.batch_size,
@@ -79,6 +89,7 @@ def main(argv=None):
         f'data.val_manifest={manifests["val"]}',
         f'data.batch_size={args.batch_size}',
         'data.num_length_buckets=3',
+        f'model={args.model}',
         'optimizer=novograd', f'model.optimizer.lr={args.lr}',
         'model.scheduler.gamma=0.985',
         f'model.mid_layers={args.mid_layers}',
@@ -114,13 +125,24 @@ def main(argv=None):
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--streaming', '--streaming-chunk-frames', '64'])
 
-    # Exported artifact: offline f32 and full-int8 MXU inference.
+    # Bounded-lookahead mode: commit after 0.96 s of future context
+    # instead of the model's full 4.2 s receptive field — the latency/WER
+    # trade (serving/lookahead.py).
+    results['test_streaming_la96'] = run_test_cli(
+        ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
+         '--streaming', '--streaming-chunk-frames', '64',
+         '--lookahead-frames', '96'])
+
+    # Exported artifact: offline f32 and (wav2letter only) full-int8 MXU
+    # inference — jasper artifacts are stored f32 (export_serving.py).
     from scripts.export_serving import main as export_main
     artifact = os.path.join(args.run_dir, 'artifact')
+    int8_ok = args.model == 'wav2letter'
     export_main(['--model-path', args.run_dir, '--out', artifact,
-                 '--int8', '--cmvn-manifest', manifests['train'],
-                 '--cmvn-limit', '1000', '--calibrate'])
-    if args.cpu:
+                 '--cmvn-manifest', manifests['train'],
+                 '--cmvn-limit', '1000']
+                + (['--int8', '--calibrate'] if int8_ok else []))
+    if args.cpu or not int8_ok:
         # int8-full emulation is ~100x slower than f32 off-chip (the MXU
         # int8 path has no CPU fast path); record the f32 artifact eval
         # instead and leave int8-full to an on-chip run.
