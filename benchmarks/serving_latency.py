@@ -149,6 +149,44 @@ def main():
             stream[mode][f'streams_per_chip_b{B}'] = int(
                 B * CHUNK_FRAMES * 10 / ms)
 
+    # Bounded-lookahead streaming (serving/lookahead.py): commit after
+    # 0.96 s of future context instead of the full 4.2 s receptive field.
+    # Latency = chunk cadence + lookahead + window compute; the window
+    # program recomputes [left | chunk | la] per chunk, so the compute
+    # overhead factor vs offline is window/chunk.
+    from wav2letter_pytorch_tpu.serving.lookahead import (
+        BoundedLookaheadStreamer, _conv_specs_w2l)
+    LA = 96
+    bla = BoundedLookaheadStreamer(model, variables, frontend,
+                                   _conv_specs_w2l(layers),
+                                   chunk_frames=CHUNK_FRAMES,
+                                   lookahead_frames=LA)
+    wfeats = jax.device_put((rng.standard_normal(
+        (1, bla.window_frames, feats.shape[2])) * 0.1).astype(np.float32))
+    wvars = bla._variables_dev
+    K = 20
+
+    def chain_windows(c0):
+        def body(c, _):
+            o = bla._win_fn(wvars, wfeats * (1 + c * 1e-12))
+            return c + o[0, 0, 0] * 1e-12, None
+        return jax.lax.scan(body, c0, None, length=K)[0]
+
+    cw = jax.jit(chain_windows)
+    ms_win = _timeit(lambda: cw(jnp.float32(0.0)), lambda o: float(o),
+                     reps=4) * 1e3 / K
+    stream['bounded_lookahead_f32'] = {
+        'lookahead_s': round(LA * 0.01, 2),
+        'chunk_ms_audio': CHUNK_FRAMES * 10,
+        'window_frames': bla.window_frames,
+        'window_compute_ms': round(ms_win, 3),
+        'compute_overhead_vs_offline':
+            round(bla.window_frames / CHUNK_FRAMES, 1),
+        'worst_commit_latency_s': round(
+            (CHUNK_FRAMES + LA) * 0.01 + ms_win / 1e3, 3),
+        'streams_per_chip': int(CHUNK_FRAMES * 10 / ms_win),
+    }
+
     # Batched offline inference throughput (the transcription-service
     # regime): 32 x 8 s utterances per dispatch through the folded path.
     B32 = 32

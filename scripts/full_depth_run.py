@@ -120,10 +120,18 @@ def main(argv=None):
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--beam-search-params', 'k=16,prune=0.0001'])
 
-    # Streaming serving path on the test split.
+    # Streaming serving path on the test split — cumulative norm (no side
+    # data) and precomputed train-corpus CMVN (the deployment-standard
+    # choice; training normalized per-utterance over the full utterance,
+    # so CMVN is the closest a live stream can get).
     results['test_streaming'] = run_test_cli(
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--streaming', '--streaming-chunk-frames', '64'])
+    results['test_streaming_cmvn'] = run_test_cli(
+        ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
+         '--streaming', '--streaming-chunk-frames', '64',
+         '--streaming-norm', 'cmvn',
+         '--streaming-cmvn-manifest', manifests['train']])
 
     # Bounded-lookahead mode: commit after 0.96 s of future context
     # instead of the model's full 4.2 s receptive field — the latency/WER
@@ -132,6 +140,11 @@ def main(argv=None):
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--streaming', '--streaming-chunk-frames', '64',
          '--lookahead-frames', '96'])
+    results['test_streaming_la96_cmvn'] = run_test_cli(
+        ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
+         '--streaming', '--streaming-chunk-frames', '64',
+         '--lookahead-frames', '96', '--streaming-norm', 'cmvn',
+         '--streaming-cmvn-manifest', manifests['train']])
 
     # Exported artifact: offline f32 and (wav2letter only) full-int8 MXU
     # inference — jasper artifacts are stored f32 (export_serving.py).

@@ -92,6 +92,24 @@ def main(argv=None):
                              'instead of the model\'s full receptive '
                              'field (96 = 0.96 s at 10 ms hop); measures '
                              'the latency/WER trade')
+    parser.add_argument('--streaming-norm', default='cumulative',
+                        choices=['cumulative', 'cmvn'],
+                        help='feature normalization for --model-path '
+                             '--streaming: cumulative (running masked '
+                             'stats, no side data — but early frames see '
+                             'unsettled statistics, unlike the '
+                             'per-utterance norm training used: reference '
+                             'data_loader.py:77-88) or precomputed corpus '
+                             'CMVN over --streaming-cmvn-manifest (what a '
+                             'deployed artifact ships; closes most of the '
+                             'streaming-vs-offline WER gap)')
+    parser.add_argument('--streaming-cmvn-manifest', default='',
+                        help='manifest to compute corpus CMVN over for '
+                             '--streaming-norm cmvn (use the TRAIN '
+                             'manifest — stats must not come from the '
+                             'eval data)')
+    parser.add_argument('--streaming-cmvn-limit', type=int, default=1000,
+                        help='max utterances for the CMVN pass')
     parser.add_argument('--int8', action='store_true',
                         help='weight-only int8 quantized inference '
                              '(streaming mode only)')
@@ -500,6 +518,33 @@ def run_artifact_offline_eval(args, meta, folded, norm_stats, conf, n_mels,
     return 0
 
 
+def _streaming_norm_kwargs(args, cfg, labels):
+    """norm/norm_stats kwargs for the streamers per --streaming-norm.
+
+    Training normalizes per-utterance over the FULL utterance (reference
+    data_loader.py:77-88); a live stream cannot. 'cumulative' needs no
+    side data but early frames see unsettled statistics; 'cmvn' precomputes
+    corpus stats over the train manifest — the deployment-standard choice
+    (what export_serving.py --cmvn-manifest bakes into artifacts).
+    """
+    if args.streaming_norm != 'cmvn':
+        return {}
+    if not args.streaming_cmvn_manifest:
+        raise SystemExit('--streaming-norm cmvn requires '
+                         '--streaming-cmvn-manifest (the train manifest)')
+    from wav2letter_pytorch_tpu.serving import compute_cmvn
+    from wav2letter_pytorch_tpu.training import build_frontend
+    stats = compute_cmvn(
+        args.streaming_cmvn_manifest,
+        lambda normalize: build_frontend(cfg.model, dither=0.0,
+                                         normalize=normalize),
+        labels, cfg.data.audio_conf, limit=args.streaming_cmvn_limit)
+    print(f'streaming CMVN over {args.streaming_cmvn_manifest}: '
+          f'mean[0]={stats[0][0]:.3f} std[0]={stats[1][0]:.3f}',
+          file=sys.stderr)
+    return dict(norm='precomputed', norm_stats=stats)
+
+
 def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
                        ds, beam_params):
     """Per-utterance evaluation through the streaming serving path."""
@@ -514,6 +559,7 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
     variables = {'params': jax.device_get(trainer.state.params),
                  'batch_stats': jax.device_get(trainer.state.batch_stats)}
     emits_probs = str(cfg.model.name) == 'jasper'
+    nkw = _streaming_norm_kwargs(args, cfg, labels)
     if emits_probs:
         from wav2letter_pytorch_tpu.serving import StreamingJasper
         blocks = [dict(b) for b in
@@ -521,7 +567,8 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
         sw = StreamingJasper(blocks, len(labels), variables,
                              build_frontend(cfg.model, dither=0.0),
                              chunk_frames=args.streaming_chunk_frames,
-                             weights='int8' if args.int8 else 'f32')
+                             weights='int8' if args.int8 else 'f32',
+                             **nkw)
     elif str(cfg.model.name) == 'wav2letter':
         layers = [dict(l) for l in
                   cfg.model.layers][:int(cfg.model.mid_layers)]
@@ -530,7 +577,8 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
             build_frontend(cfg.model, dither=0.0),
             chunk_frames=args.streaming_chunk_frames,
             weights='int8' if args.int8 else 'f32',
-            padding_mode=cfg.model.get('padding_mode', 'reflect'))
+            padding_mode=cfg.model.get('padding_mode', 'reflect'),
+            **nkw)
     else:
         raise SystemExit(f'--streaming does not support model '
                          f'{cfg.model.name!r}')
@@ -607,6 +655,7 @@ def run_streaming_eval(args, cfg, trainer, model, frontend, decoder, labels,
 
     dump.close()
     result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
+              'normalization': args.streaming_norm,
               'offline_fallback': n_fallback,
               'weights': 'int8' if args.int8 else 'f32'}
     result.update(acc.ratios())
@@ -640,7 +689,8 @@ def run_bounded_streaming_eval(args, cfg, trainer, model, decoder, labels,
     la = -(-int(args.lookahead_frames) // scale) * scale
     sw = BoundedLookaheadStreamer(
         model, variables, build_frontend(cfg.model, dither=0.0), specs,
-        chunk_frames=args.streaming_chunk_frames, lookahead_frames=la)
+        chunk_frames=args.streaming_chunk_frames, lookahead_frames=la,
+        **_streaming_norm_kwargs(args, cfg, labels))
     sr = int(cfg.model.audio_conf.sample_rate)
     hop_s = float(cfg.model.audio_conf.window_stride)
     print(f'bounded-lookahead streaming: lookahead {la * hop_s:.2f}s, '
@@ -666,6 +716,7 @@ def run_bounded_streaming_eval(args, cfg, trainer, model, decoder, labels,
             print(f'decoded  : {decoded}')
     dump.close()
     result = {'loss': None, 'num_utterances': len(ds), 'streaming': True,
+              'normalization': args.streaming_norm,
               'bounded_lookahead_frames': la,
               'bounded_lookahead_seconds': round(la * hop_s, 3),
               'window_frames': sw.window_frames}

@@ -77,6 +77,50 @@ def test_eval_cli_streaming(trained_run, capsys):
     assert 'timings' in out
 
 
+def test_eval_cli_streaming_cmvn_norm(trained_run, capsys):
+    """--streaming-norm cmvn: precomputed corpus CMVN replaces cumulative
+    normalization in the streamers (the deployment-standard stats;
+    training normalized per-utterance — reference data_loader.py:77-88)."""
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--streaming', '--streaming-chunk-frames', '8',
+                        '--streaming-norm', 'cmvn',
+                        '--streaming-cmvn-manifest', manifest,
+                        '--streaming-cmvn-limit', '4'])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result['streaming'] is True
+    assert result['normalization'] == 'cmvn'
+    assert result['num_utterances'] == 6
+    assert 'wer' in result and 'cer' in result
+    # Requiring the manifest keeps eval-data stats out by default.
+    with pytest.raises(SystemExit):
+        test_cli.main(['--model-path', run_dir,
+                       '--test-manifest', manifest,
+                       '--streaming', '--streaming-norm', 'cmvn'])
+    capsys.readouterr()
+
+
+def test_eval_cli_bounded_lookahead_cmvn_norm(trained_run, capsys):
+    """Bounded-lookahead mode honours --streaming-norm cmvn too."""
+    run_dir, manifest = trained_run
+    import test as test_cli
+    rc = test_cli.main(['--model-path', run_dir,
+                        '--test-manifest', manifest,
+                        '--streaming', '--streaming-chunk-frames', '8',
+                        '--lookahead-frames', '8',
+                        '--streaming-norm', 'cmvn',
+                        '--streaming-cmvn-manifest', manifest,
+                        '--streaming-cmvn-limit', '4'])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result['normalization'] == 'cmvn'
+    assert result['bounded_lookahead_frames'] >= 8
+    assert 'wer' in result
+
+
 def test_eval_cli_bounded_lookahead(trained_run, capsys):
     """--streaming --lookahead-frames N: bounded-lookahead commit mode
     (serving/lookahead.py) reports its latency knobs alongside WER."""
