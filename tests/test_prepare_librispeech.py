@@ -90,6 +90,53 @@ def test_main_with_local_tarball(tmp_path):
     assert len(df) == 3 and 'THE LAZY DOG' in set(df.text)
 
 
+def test_main_download_branch_mocked_network(tmp_path, monkeypatch, capsys):
+    """The download branch itself (reference prepare_librispeech.py:11-17):
+    with no pre-placed tarball, main() must request the openslr subset URL
+    and land the tarball at <download_dir>/<subset>.tar.gz before
+    extraction. The network is mocked — urlretrieve writes a real tarball
+    built from the fake tree — so the full CLI runs end-to-end through the
+    same code path a live download takes."""
+    import urllib.request
+
+    stage = tmp_path / 'stage'
+    _fake_tree(str(stage))
+    payload = tmp_path / 'payload.tar.gz'
+    with tarfile.open(payload, 'w:gz') as tar:
+        tar.add(str(stage / 'LibriSpeech'), arcname='LibriSpeech')
+    calls = []
+
+    def fake_urlretrieve(url, filename):
+        calls.append((url, filename))
+        import shutil
+        shutil.copyfile(payload, filename)
+        return filename, None
+
+    monkeypatch.setattr(urllib.request, 'urlretrieve', fake_urlretrieve)
+    download = tmp_path / 'dl'
+    manifest = tmp_path / 'out.csv'
+    rc = main(['--subset', SUBSET,
+               '--download_dir', str(download),
+               '--extracted_dir', str(tmp_path / 'extracted'),
+               '--manifest_path', str(manifest)])
+    assert rc == 0
+    assert calls == [
+        (f'https://www.openslr.org/resources/12/{SUBSET}.tar.gz',
+         str(download / f'{SUBSET}.tar.gz'))]
+    assert (download / f'{SUBSET}.tar.gz').exists()
+    df = pd.read_csv(manifest, index_col=0)
+    assert len(df) == 3
+
+    # Re-running must hit the skip ("already exists"), not the network.
+    capsys.readouterr()
+    rc = main(['--subset', SUBSET,
+               '--download_dir', str(download),
+               '--extracted_dir', str(tmp_path / 'extracted'),
+               '--manifest_path', str(manifest)])
+    assert rc == 0 and len(calls) == 1
+    assert 'skipping download' in capsys.readouterr().out
+
+
 def test_main_empty_archive_fails(tmp_path):
     download = tmp_path / 'dl'
     download.mkdir()
