@@ -166,15 +166,18 @@ def main():
     wvars = bla._variables_dev
     K = 20
 
-    def chain_windows(c0):
+    # Weights/features must be ARGUMENTS: closing over them embeds the
+    # 153 M params as HLO constants and the tunnel's remote-compile
+    # rejects the oversized request body (HTTP 413).
+    def chain_windows(c0, v, f):
         def body(c, _):
-            o = bla._win_fn(wvars, wfeats * (1 + c * 1e-12))
+            o = bla._win_fn(v, f * (1 + c * 1e-12))
             return c + o[0, 0, 0] * 1e-12, None
         return jax.lax.scan(body, c0, None, length=K)[0]
 
     cw = jax.jit(chain_windows)
-    ms_win = _timeit(lambda: cw(jnp.float32(0.0)), lambda o: float(o),
-                     reps=4) * 1e3 / K
+    ms_win = _timeit(lambda: cw(jnp.float32(0.0), wvars, wfeats),
+                     lambda o: float(o), reps=4) * 1e3 / K
     stream['bounded_lookahead_f32'] = {
         'lookahead_s': round(LA * 0.01, 2),
         'chunk_ms_audio': CHUNK_FRAMES * 10,
