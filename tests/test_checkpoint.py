@@ -28,6 +28,22 @@ def test_keep_last_retention(tmp_path):
     ck.close()
 
 
+def test_meta_sidecars_pruned_with_retention(tmp_path):
+    """meta_<step>.json sidecars follow their checkpoints out: retention
+    deletes the dirs via orbax, and save() prunes the orphaned metadata so
+    load_extra() can never serve a step that no longer exists."""
+    import os
+    d = tmp_path / 'ck'
+    ck = Checkpointer(str(d), keep_last=2)
+    for step in (1, 2, 3):
+        ck.save(step, _state(step), extra={'epoch': step * 5})
+    metas = sorted(f for f in os.listdir(d) if f.startswith('meta_'))
+    assert metas == ['meta_2.json', 'meta_3.json']
+    assert ck.load_extra() == {'epoch': 15}
+    assert ck.load_extra(step=1) == {}   # pruned, not stale
+    ck.close()
+
+
 def test_best_k_by_metric(tmp_path):
     ck = Checkpointer(str(tmp_path / 'ck'), keep_last=1, monitor='val_loss')
     ck.save(1, _state(1), metrics={'val_loss': 5.0})

@@ -51,6 +51,18 @@ class Checkpointer:
             with open(tmp, 'w') as f:
                 json.dump(extra, f)
             os.replace(tmp, os.path.join(self._dir, f'meta_{step}.json'))
+        # Retention deletes checkpoint dirs but knows nothing about the
+        # meta sidecars; prune them too or load_extra() can serve
+        # metadata for a checkpoint that no longer exists.
+        kept = set(self._mgr.all_steps())
+        for name in os.listdir(self._dir):
+            if name.startswith('meta_') and name.endswith('.json'):
+                try:
+                    s = int(name[len('meta_'):-len('.json')])
+                except ValueError:
+                    continue
+                if s not in kept:
+                    os.remove(os.path.join(self._dir, name))
 
     def load_extra(self, step: int | None = None) -> dict:
         """The ``extra`` metadata saved with ``step`` (default: latest);
