@@ -71,6 +71,10 @@ def main(argv=None):
     p.add_argument('--batch', type=int, default=32)
     p.add_argument('--compute-dtype', default=None,
                    help='override model.compute_dtype (e.g. bf16)')
+    p.add_argument('--remat', action='store_true',
+                   help='block-level rematerialization (model.remat=true): '
+                        'backward recomputes each block forward instead of '
+                        're-loading saved intermediates from HBM')
     args = p.parse_args(argv)
 
     from wav2letter_pytorch_tpu.utils import enable_compilation_cache
@@ -87,6 +91,8 @@ def main(argv=None):
                  f'model={args.model}', f'model.mid_layers={n_blocks}']
     if args.compute_dtype:
         overrides.append(f'model.compute_dtype={args.compute_dtype}')
+    if args.remat:
+        overrides.append('+model.remat=true')
     cfg = load_config(overrides)
     labels = build_labels(cfg.model)
     model = build_model(cfg.model, num_labels=len(labels))
@@ -165,7 +171,8 @@ def main(argv=None):
         with open(out_path) as f:
             existing = json.load(f)
     key = f"{args.model}_b{B}" + (
-        f"_{args.compute_dtype}" if args.compute_dtype else '')
+        f"_{args.compute_dtype}" if args.compute_dtype else '') + (
+        '_remat' if args.remat else '')
     existing[key] = results
     with open(out_path, 'w') as f:
         json.dump(existing, f, indent=1)

@@ -57,6 +57,9 @@ def main(argv=None):
                         help='pin the whole pipeline (train, eval, export) '
                              'to the CPU backend in-process')
     parser.add_argument('--skip-train', action='store_true')
+    parser.add_argument('--override', action='append', default=[],
+                        help='extra train-time config override(s), e.g. '
+                             '+model.remat=true (repeatable)')
     parser.add_argument('--out', default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         'benchmarks', 'full_depth_run.json'))
@@ -103,7 +106,7 @@ def main(argv=None):
         'trainer.val_every_n_epochs=5',
         'trainer.checkpoint.every_n_epochs=5',
         f'trainer.default_root_dir={args.run_dir}',
-    ]
+    ] + list(args.override)
     if not args.skip_train:
         import train as train_cli
         t0 = time.time()
@@ -119,6 +122,17 @@ def main(argv=None):
     results['test_beam'] = run_test_cli(
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--beam-search-params', 'k=16,prune=0.0001'])
+
+    # Beam + first-party trained LM (scripts/build_arpa.py on the training
+    # transcripts) at the sweep-tuned defaults — the configuration where
+    # beam must beat greedy (benchmarks/beam_sweep_corpus.json).
+    from scripts.build_arpa import main as build_arpa_main
+    lm_path = os.path.join(args.run_dir, 'corpus_lm.arpa')
+    build_arpa_main(['--manifest', manifests['train'], '--out', lm_path])
+    results['test_beam_lm'] = run_test_cli(
+        ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
+         '--lm-path', lm_path,
+         '--beam-search-params', 'k=16,alpha=0.15,beta=0,prune=0.0001'])
 
     # Streaming serving path on the test split — cumulative norm (no side
     # data) and precomputed train-corpus CMVN (the deployment-standard

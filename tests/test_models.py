@@ -179,3 +179,38 @@ def test_jasper_heads_and_groupshuffle():
     # with _get_conv_bn_layer defaults groups=1, heads=-1
     # (jasper.py:241-257), NOT the block's groups/heads.
     assert params['res0_conv']['Conv_0']['kernel'].shape == (1, 16, 16)
+
+
+def test_jasper_remat_identical_loss_and_grads():
+    """model.remat=true must be a pure performance knob: block-level
+    nn.remat changes when activations are (re)computed, never what the
+    step computes — loss and every gradient leaf bit-exact vs baseline,
+    and the parameter/batch_stats trees identical (checkpoints
+    interchangeable)."""
+    base = Jasper(jasper_blocks=JASPER_BLOCKS, num_labels=29, mid_layers=3)
+    rematted = Jasper(jasper_blocks=JASPER_BLOCKS, num_labels=29,
+                      mid_layers=3, remat=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 40)), jnp.float32)
+    lens = jnp.asarray([64, 48], jnp.int32)
+    variables = base.init(jax.random.PRNGKey(0), x, lens, train=False)
+    assert (jax.tree_util.tree_structure(variables) ==
+            jax.tree_util.tree_structure(
+                rematted.init(jax.random.PRNGKey(0), x, lens, train=False)))
+
+    def loss_fn(model, params):
+        (out, out_lens), _ = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            x, lens, train=True, rngs={'dropout': jax.random.PRNGKey(1)},
+            mutable=['batch_stats'])
+        t = jnp.arange(out.shape[1])[None, :] < out_lens[:, None]
+        return jnp.sum(out * t[:, :, None])
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(base, p))(
+        variables['params'])
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(rematted, p))(
+        variables['params'])
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -343,6 +343,7 @@ class Jasper(nn.Module):
     init_mode: str = 'xavier_uniform'
     precision: str | None = None
     dtype: Any = None
+    remat: bool = False
 
     @property
     def scaling_factor(self) -> int:
@@ -382,7 +383,18 @@ class Jasper(nn.Module):
                 init_mode=self.init_mode,
                 precision=self.precision, dtype=self.dtype,
                 name=f'block{i}')
-            out, lens = block(panes, lens, train=train)
+            if self.remat and train:
+                # Trade HBM for MXU idle time: the train step is
+                # bandwidth-roofline-bound (benchmarks/
+                # jasper_train_breakdown.json), so re-running the block
+                # forward during backward is cheaper than re-loading every
+                # saved conv/norm intermediate from HBM. Parameter tree is
+                # unchanged (remat is transparent to variable naming).
+                def _fwd(mdl, panes_in, lens_in):
+                    return mdl(panes_in, lens_in, train=True)
+                out, lens = nn.remat(_fwd)(block, panes, lens)
+            else:
+                out, lens = block(panes, lens, train=train)
             panes = panes + [out] if dense else [out]
             x = out
 

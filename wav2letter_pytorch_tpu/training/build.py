@@ -56,7 +56,8 @@ def build_model(model_cfg, num_labels: int):
                            'model.jasper_blocks')
         return Jasper(jasper_blocks=[dict(b) for b in model_cfg['jasper_blocks']],
                       num_labels=num_labels, mid_layers=mid_layers,
-                      dtype=dtype, init_mode=init_mode)
+                      dtype=dtype, init_mode=init_mode,
+                      remat=bool(model_cfg.get('remat', False)))
     raise ValueError(f'Unknown model name: {name!r} '
                      "(expected 'wav2letter' or 'jasper')")
 
