@@ -222,8 +222,13 @@ def _jasper_bench():
                                     'benchmarks'))
     from jasper_train_breakdown import count_block_flops
 
+    # Best-known-good training config for the separable family: bf16
+    # activations + block-level remat (bit-exact; ~1.9x over f32 baseline
+    # on the bandwidth-bound step — docs/ROADMAP.md, jasper_train_
+    # breakdown.json).
     cfg = load_config(['data.train_manifest=u', 'data.val_manifest=u',
-                       'model=jasper', 'model.mid_layers=15'])
+                       'model=jasper', 'model.mid_layers=15',
+                       'model.compute_dtype=bf16', 'model.remat=true'])
     labels = build_labels(cfg.model)
     model = build_model(cfg.model, num_labels=len(labels))
     frontend = build_frontend(cfg.model, dither=0.0)
@@ -266,6 +271,8 @@ def _jasper_bench():
     dt = (time.perf_counter() - t0) / STEPS
     tflops = 3 * fwd_flops / 1e12 / dt
     return {
+        'jasper15_config': 'bf16 + model.remat (bit-exact vs f32 baseline '
+                           '1238 utt/s)',
         'jasper15_fwd_bwd_utt_per_sec': round(BATCH / dt, 1),
         'jasper15_achieved_tflops': round(tflops, 1),
         'jasper15_pct_practical_peak': round(
