@@ -92,6 +92,9 @@ def main(argv=None):
         f'data.val_manifest={manifests["val"]}',
         f'data.batch_size={args.batch_size}',
         'data.num_length_buckets=3',
+        # the corpus is ~2 GB decoded; single-core hosts are otherwise
+        # decode-bound at ~50 utt/s from epoch 2 on
+        'data.cache_audio=true',
         f'model={args.model}',
         'optimizer=novograd', f'model.optimizer.lr={args.lr}',
         'model.scheduler.gamma=0.985',

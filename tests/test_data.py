@@ -75,6 +75,34 @@ def test_manifest_jsonl_and_csv(corpus, tmp_path):
     assert ds2[2][3] == 'the quick brown fox'
 
 
+def test_cache_audio_skips_redecode(corpus, monkeypatch):
+    """cache_audio=True: first access decodes, repeats are served from RAM
+    with identical samples; default (off) re-decodes every access."""
+    manifest, _ = corpus
+    import wav2letter_pytorch_tpu.data.dataset as dsmod
+    calls = {'n': 0}
+    real = dsmod.read_audio
+
+    def counting(*a, **k):
+        calls['n'] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(dsmod, 'read_audio', counting)
+    ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase',
+                         cache_audio=True)
+    first = ds[0][0]
+    n_after_first = calls['n']
+    again = ds[0][0]
+    assert calls['n'] == n_after_first  # no second decode
+    np.testing.assert_array_equal(first, again)
+
+    ds_nocache = ManifestDataset(str(manifest), AUDIO_CONF,
+                                 'english_lowercase')
+    base = calls['n']
+    ds_nocache[0], ds_nocache[0]
+    assert calls['n'] == base + 2  # default path re-decodes
+
+
 def test_encode_text_drops_unknown(corpus):
     manifest, _ = corpus
     ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')

@@ -30,13 +30,16 @@ def get_data_loaders(labels, data_cfg):
                   max_duration=data_cfg.get('max_duration'),
                   prefetch=int(data_cfg.get('prefetch', 2)),
                   frame_hop=hop)
+    cache = bool(data_cfg.get('cache_audio', False))
     train_ds = ManifestDataset(data_cfg['train_manifest'],
-                               data_cfg['audio_conf'], labels)
+                               data_cfg['audio_conf'], labels,
+                               cache_audio=cache)
     train_loader = BucketBatchLoader(train_ds, int(data_cfg['batch_size']),
                                      shuffle=bool(data_cfg.get('shuffle', True)),
                                      **kwargs)
     val_ds = ManifestDataset(data_cfg['val_manifest'],
-                             data_cfg['audio_conf'], labels)
+                             data_cfg['audio_conf'], labels,
+                             cache_audio=cache)
     val_loader = BucketBatchLoader(val_ds, int(data_cfg['batch_size']),
                                    shuffle=False, **kwargs)
     return train_loader, val_loader

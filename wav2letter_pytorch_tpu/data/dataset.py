@@ -36,7 +36,14 @@ class ManifestDataset:
     """Audio + transcript samples described by a CSV / JSON-lines manifest."""
 
     def __init__(self, manifest_filepath: str, audio_conf, labels,
-                 validate_rate: bool = True):
+                 validate_rate: bool = True, cache_audio: bool = False):
+        """``cache_audio=True`` keeps every decoded (and resampled) waveform
+        in host RAM after first read — epochs 2+ skip FLAC/WAV decode
+        entirely. On a single-core host the decode thread otherwise competes
+        with the device dispatch loop and caps training throughput (measured
+        ~50 utt/s decode-bound vs ~436 utt/s compute on a v5e chip for the
+        offline corpus). Opt-in: only safe when the corpus fits in RAM
+        (float32 samples: ~115 MB per hour of 16 kHz audio)."""
         import pandas as pd
         if manifest_filepath.endswith('.csv'):
             self.df = pd.read_csv(manifest_filepath, index_col=0)
@@ -56,6 +63,8 @@ class ManifestDataset:
         self.resample = bool(audio_conf.get('resample', False))
         self.labels = label_sets.resolve_labels(labels)
         self.labels_map = {c: i for i, c in enumerate(self.labels)}
+        self._audio_cache: dict[int, np.ndarray] | None = (
+            {} if cache_audio else None)
         if validate_rate and not self.resample and len(self.df):
             self.validate_sample_rate()
 
@@ -92,9 +101,15 @@ class ManifestDataset:
 
     def __getitem__(self, index: int):
         row = self.df.iloc[index]
-        audio, sr = read_audio(row.audio_filepath, row.duration, row.offset)
-        if self.resample and sr != self.sample_rate:
-            audio = resample(audio, sr, self.sample_rate)
+        if self._audio_cache is not None and index in self._audio_cache:
+            audio = self._audio_cache[index]
+        else:
+            audio, sr = read_audio(row.audio_filepath, row.duration,
+                                   row.offset)
+            if self.resample and sr != self.sample_rate:
+                audio = resample(audio, sr, self.sample_rate)
+            if self._audio_cache is not None:
+                self._audio_cache[index] = audio
         return audio, self.encode_text(row.text), row.audio_filepath, row.text
 
     def data_channels(self, mel_spec: int | None = None,
