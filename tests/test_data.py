@@ -103,6 +103,37 @@ def test_cache_audio_skips_redecode(corpus, monkeypatch):
     assert calls['n'] == base + 2  # default path re-decodes
 
 
+def test_int16_wire_dtype_bit_exact(corpus):
+    """audio_dtype='int16': batches carry PCM ints at half the bytes, and
+    the on-device frontend's /2**15 rescale reproduces the f32 pipeline's
+    samples bit-exactly for 16-bit sources."""
+    manifest, _ = corpus
+    ds_f32 = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')
+    ds_i16 = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase',
+                             audio_dtype='int16')
+    a32 = ds_f32[0][0]
+    a16 = ds_i16[0][0]
+    assert a16.dtype == np.int16
+    np.testing.assert_array_equal(a16.astype(np.float32) / 32768.0, a32)
+
+    lo32 = BucketBatchLoader(ds_f32, 2, num_buckets=1, shuffle=False,
+                             prefetch=0)
+    lo16 = BucketBatchLoader(ds_i16, 2, num_buckets=1, shuffle=False,
+                             prefetch=0)
+    b32, b16 = lo32.peek_batch(), lo16.peek_batch()
+    assert b16['audio'].dtype == np.int16
+    assert b16['audio'].nbytes * 2 == b32['audio'].nbytes
+
+    from wav2letter_pytorch_tpu.data.features import (AudioConfig,
+                                                      SpectrogramFrontend)
+    fe = SpectrogramFrontend(AudioConfig(sample_rate=SR), n_mels=13,
+                             dither=0.0)
+    f32, l32 = fe(b32['audio'], b32['audio_lengths'])
+    f16, l16 = fe(b16['audio'], b16['audio_lengths'])
+    np.testing.assert_array_equal(np.asarray(l32), np.asarray(l16))
+    np.testing.assert_array_equal(np.asarray(f32), np.asarray(f16))
+
+
 def test_encode_text_drops_unknown(corpus):
     manifest, _ = corpus
     ds = ManifestDataset(str(manifest), AUDIO_CONF, 'english_lowercase')

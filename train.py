@@ -31,15 +31,16 @@ def get_data_loaders(labels, data_cfg):
                   prefetch=int(data_cfg.get('prefetch', 2)),
                   frame_hop=hop)
     cache = bool(data_cfg.get('cache_audio', False))
+    wire_dtype = str(data_cfg.get('audio_dtype', 'float32'))
     train_ds = ManifestDataset(data_cfg['train_manifest'],
                                data_cfg['audio_conf'], labels,
-                               cache_audio=cache)
+                               cache_audio=cache, audio_dtype=wire_dtype)
     train_loader = BucketBatchLoader(train_ds, int(data_cfg['batch_size']),
                                      shuffle=bool(data_cfg.get('shuffle', True)),
                                      **kwargs)
     val_ds = ManifestDataset(data_cfg['val_manifest'],
                              data_cfg['audio_conf'], labels,
-                             cache_audio=cache)
+                             cache_audio=cache, audio_dtype=wire_dtype)
     val_loader = BucketBatchLoader(val_ds, int(data_cfg['batch_size']),
                                    shuffle=False, **kwargs)
     return train_loader, val_loader

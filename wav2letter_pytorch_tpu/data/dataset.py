@@ -36,14 +36,21 @@ class ManifestDataset:
     """Audio + transcript samples described by a CSV / JSON-lines manifest."""
 
     def __init__(self, manifest_filepath: str, audio_conf, labels,
-                 validate_rate: bool = True, cache_audio: bool = False):
+                 validate_rate: bool = True, cache_audio: bool = False,
+                 audio_dtype: str = 'float32'):
         """``cache_audio=True`` keeps every decoded (and resampled) waveform
         in host RAM after first read — epochs 2+ skip FLAC/WAV decode
         entirely. On a single-core host the decode thread otherwise competes
         with the device dispatch loop and caps training throughput (measured
         ~50 utt/s decode-bound vs ~436 utt/s compute on a v5e chip for the
         offline corpus). Opt-in: only safe when the corpus fits in RAM
-        (float32 samples: ~115 MB per hour of 16 kHz audio)."""
+        (float32 samples: ~115 MB per hour of 16 kHz audio).
+
+        ``audio_dtype='int16'``: samples are kept (and batched) as raw PCM
+        ints — half the host->device transfer bytes and cache RAM of f32.
+        The on-device frontend recovers floats as ``x / 2**15``, which is
+        bit-exact for 16-bit sources (every int16/32768 is an exact f32);
+        >16-bit or resampled audio is quantized to 16-bit wire precision."""
         import pandas as pd
         if manifest_filepath.endswith('.csv'):
             self.df = pd.read_csv(manifest_filepath, index_col=0)
@@ -63,6 +70,10 @@ class ManifestDataset:
         self.resample = bool(audio_conf.get('resample', False))
         self.labels = label_sets.resolve_labels(labels)
         self.labels_map = {c: i for i, c in enumerate(self.labels)}
+        if audio_dtype not in ('float32', 'int16'):
+            raise ValueError(f'audio_dtype must be float32 or int16, '
+                             f'got {audio_dtype!r}')
+        self.audio_dtype = np.dtype(audio_dtype)
         self._audio_cache: dict[int, np.ndarray] | None = (
             {} if cache_audio else None)
         if validate_rate and not self.resample and len(self.df):
@@ -108,6 +119,11 @@ class ManifestDataset:
                                    row.offset)
             if self.resample and sr != self.sample_rate:
                 audio = resample(audio, sr, self.sample_rate)
+            if self.audio_dtype == np.int16:
+                # rint is a no-op for 16-bit sources (x*32768 is already
+                # integral); quantizes anything finer to wire precision.
+                audio = np.clip(np.rint(audio * 32768.0),
+                                -32768, 32767).astype(np.int16)
             if self._audio_cache is not None:
                 self._audio_cache[index] = audio
         return audio, self.encode_text(row.text), row.audio_filepath, row.text
@@ -218,7 +234,8 @@ class BucketBatchLoader:
         pad_to = self.bucket_edges[bucket]
         n = len(indices)
         B = self.batch_size
-        audio = np.zeros((B, pad_to), np.float32)
+        audio = np.zeros((B, pad_to),
+                         getattr(self.dataset, 'audio_dtype', np.float32))
         audio_lengths = np.ones((B,), np.int32)
         s_max = _round_up(max(self.max_target_len, 1), self.target_multiple)
         targets = np.zeros((B, s_max), np.int32)

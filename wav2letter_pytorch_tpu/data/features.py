@@ -225,7 +225,15 @@ class SpectrogramFrontend:
 
     def __call__(self, audio, sample_lengths, rng=None):
         """Extract features. ``rng`` enables dithering (training)."""
-        audio = jnp.asarray(audio, jnp.float32)
+        audio = jnp.asarray(audio)
+        if jnp.issubdtype(audio.dtype, jnp.integer):
+            # int16 wire format (data.audio_dtype=int16): raw PCM ints cross
+            # the host->device link at half the bytes of f32; recover the
+            # [-1, 1) float samples exactly (/2^15 — a power of two, so the
+            # f32 result is bit-identical to dividing on the host).
+            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+        else:
+            audio = audio.astype(jnp.float32)
         B, T = audio.shape
         sample_lengths = jnp.asarray(sample_lengths, jnp.int32)
 
