@@ -57,6 +57,9 @@ def main(argv=None):
                         help='pin the whole pipeline (train, eval, export) '
                              'to the CPU backend in-process')
     parser.add_argument('--skip-train', action='store_true')
+    parser.add_argument('--resume-train', action='store_true',
+                        help='first training segment starts with --resume '
+                             '(continue an interrupted run in run-dir)')
     parser.add_argument('--override', action='append', default=[],
                         help='extra train-time config override(s), e.g. '
                              '+model.remat=true (repeatable)')
@@ -95,6 +98,9 @@ def main(argv=None):
         # the corpus is ~2 GB decoded; single-core hosts are otherwise
         # decode-bound at ~50 utt/s from epoch 2 on
         'data.cache_audio=true',
+        # tunnel-attached chips are transfer-bound (~41 MB/s effective);
+        # int16 wire halves audio bytes, bit-exact for the 16-bit corpus
+        'data.audio_dtype=int16',
         f'model={args.model}',
         'optimizer=novograd', f'model.optimizer.lr={args.lr}',
         'model.scheduler.gamma=0.985',
@@ -111,11 +117,30 @@ def main(argv=None):
         f'trainer.default_root_dir={args.run_dir}',
     ] + list(args.override)
     if not args.skip_train:
-        import train as train_cli
+        # Train in SUBPROCESS segments: the tunnel-attached PJRT client
+        # retains a host copy of every uploaded buffer for the life of the
+        # process (~0.7 GB/epoch at int16 on this corpus), so the trainer's
+        # host_rss_budget_gb guard checkpoints + exits(75) when RSS crosses
+        # the budget and a fresh --resume process continues exactly where
+        # it left off (trainer.py exact mid-epoch replay).
+        import subprocess
         t0 = time.time()
-        rc = train_cli.main(overrides)
-        assert rc == 0
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cmd = ([sys.executable, os.path.join(repo, 'train.py')]
+               + overrides + ['trainer.host_rss_budget_gb=26']
+               + (['--cpu'] if args.cpu else []))
+        segments = 0
+        while True:
+            rc = subprocess.call(cmd + (['--resume'] if segments
+                                        or args.resume_train else []))
+            segments += 1
+            if rc == 0:
+                break
+            if rc != 75:
+                raise RuntimeError(f'train.py segment failed with rc={rc}')
+            assert segments < 40, 'too many RSS-budget restarts'
         results['train_wall_seconds'] = round(time.time() - t0, 1)
+        results['train_segments'] = segments
 
     # Offline eval (greedy) on val + test; beam search on test.
     for split in ('val', 'test'):

@@ -355,6 +355,45 @@ def test_steps_per_dispatch_with_buckets(tmp_path):
     assert Checkpointer(f'{run_dir}/checkpoints').latest_step() == 10
 
 
+def test_rss_budget_graceful_stop_and_resume(tmp_path):
+    """trainer.host_rss_budget_gb: crossing the budget checkpoints at the
+    next step boundary exactly like a preemption signal, train.py exits
+    with code 75 (EX_TEMPFAIL), and a --resume run completes the original
+    epoch budget — the segmented-training loop full_depth_run.py uses
+    against buffer-retaining device transports."""
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    import train as train_cli
+
+    manifest = _make_corpus(tmp_path, n=6, seed=7)
+    run_dir = tmp_path / 'rss_run'
+    base = [
+        f'data.train_manifest={manifest}', f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=1',
+        'model.input_size=32',
+        'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: 0.1}]',
+        'trainer.string_metrics_interval=0', 'trainer.mesh.data=2',
+        'trainer.max_epochs=40', 'trainer.checkpoint.every_n_epochs=40',
+        f'trainer.default_root_dir={run_dir}',
+    ]
+    # Any real process RSS exceeds 0.001 GiB, so the guard trips on the
+    # very first dispatch and stops at that step boundary.
+    rc = train_cli.main(base + ['trainer.host_rss_budget_gb=0.001'])
+    assert rc == 75
+    ck = Checkpointer(f'{run_dir}/checkpoints')
+    step = ck.latest_step()
+    assert step is not None and step < 40 * 3
+    assert ck.load_extra().get('preempted') is True
+    ck.close()
+
+    # Resume WITHOUT the budget: must run to completion with rc 0.
+    assert train_cli.main(base + ['--resume']) == 0
+    ck = Checkpointer(f'{run_dir}/checkpoints')
+    assert ck.latest_step() == 40 * 3
+    assert ck.load_extra().get('preempted') is None
+    ck.close()
+
+
 def test_preemption_checkpoint_and_resume(tmp_path):
     """SIGTERM mid-training saves a resumable checkpoint at the next step
     boundary and fit() returns cleanly; --resume re-enters the interrupted

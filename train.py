@@ -74,6 +74,10 @@ def main(argv=None):
 
     trainer = Trainer(cfg, model, frontend, optimizer, schedule, decoder)
     trainer.fit(train_loader, val_loader, resume=resume)
+    if trainer.stopped_reason == 'rss_budget':
+        # EX_TEMPFAIL: the host-RSS budget forced a mid-run checkpoint;
+        # relaunching with --resume continues exactly where this left off.
+        return 75
     return 0
 
 

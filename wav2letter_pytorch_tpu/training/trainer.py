@@ -44,6 +44,7 @@ from flax import struct
 from ..decoding import GreedyDecoder
 from ..models import Jasper
 from ..ops.ctc import ctc_loss
+from ..utils.runtime import host_rss_mb
 from ..parallel import (make_mesh, replicated_sharding, shard_batch,
                         state_shardings)
 from .logging import MetricLogger
@@ -328,6 +329,15 @@ class Trainer:
         # per-epoch checkpoint only — a preempted epoch loses its work.)
         import signal
         self._preempt_requested = False
+        self.stopped_reason = None
+        # Host-RSS budget: when this process's resident set crosses the
+        # budget, request the SAME graceful stop as a preemption signal
+        # (mid-epoch checkpoint, exact --resume replay, multi-host agreed
+        # stop). Needed because some device transports retain a host copy
+        # of every uploaded buffer for the life of the process (utils/
+        # runtime.py::host_rss_mb) — a fresh --resume process reclaims it.
+        rss_budget_gb = self.cfg['trainer'].get('host_rss_budget_gb')
+        self._rss_budget_mb = float(rss_budget_gb or 0) * 1024.0
         sig_name = self.cfg['trainer'].get('preempt_signal', 'SIGTERM')
         prev_handler = None
         sig = getattr(signal, str(sig_name), None) if sig_name else None
@@ -502,8 +512,17 @@ class Trainer:
                     if len(pending_metrics) >= metrics_flush:
                         _flush_metrics()
                 dispatch_i += 1
+                if (self._rss_budget_mb and not self._preempt_requested
+                        and host_rss_mb() > self._rss_budget_mb):
+                    self._preempt_requested = True
+                    self.stopped_reason = 'rss_budget'
+                    print(f'host RSS over budget '
+                          f'({self._rss_budget_mb / 1024:.1f} GiB): '
+                          'checkpointing at the next agreed step boundary',
+                          flush=True)
                 if _preempt_agreed(dispatch_i):
                     preempt_stop = True
+                    self.stopped_reason = self.stopped_reason or 'signal'
                     break
             _flush_metrics()
             if preempt_stop:

@@ -88,3 +88,22 @@ def model_summary(params) -> str:
         lines.append(f'  {module:<{width}}  {n:>12,}')
     lines.append(f'  {"TOTAL":<{width}}  {total:>12,}')
     return '\n'.join(lines)
+
+
+def host_rss_mb() -> float:
+    """This process's resident set size in MiB (0.0 if unreadable).
+
+    Used by the trainer's ``host_rss_budget_gb`` guard: some device
+    transports (observed: tunnel-attached PJRT clients) retain a host copy
+    of every uploaded buffer for the life of the process, so long training
+    runs grow RSS at the wire rate regardless of syncs or GC. The guard
+    turns that into a graceful mid-run checkpoint + exit instead of an OOM.
+    """
+    try:
+        with open('/proc/self/status') as f:
+            for line in f:
+                if line.startswith('VmRSS'):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
