@@ -142,14 +142,27 @@ def main(argv=None):
         results['train_wall_seconds'] = round(time.time() - t0, 1)
         results['train_segments'] = segments
 
+    def save():
+        # Incremental dump: each completed stage is durable even if the
+        # process is killed mid-pipeline (single-core hosts make the eval
+        # tail long); atomic rename so readers never see a torn file.
+        tmp = args.out + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(results, f, indent=2)
+        os.replace(tmp, args.out)
+
+    save()
+
     # Offline eval (greedy) on val + test; beam search on test.
     for split in ('val', 'test'):
         m = run_test_cli(['--model-path', args.run_dir,
                           '--test-manifest', manifests[split]])
         results[f'{split}_greedy'] = m
+        save()
     results['test_beam'] = run_test_cli(
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--beam-search-params', 'k=16,prune=0.0001'])
+    save()
 
     # Beam + first-party trained LM (scripts/build_arpa.py on the training
     # transcripts) at the sweep-tuned defaults — the configuration where
@@ -161,6 +174,7 @@ def main(argv=None):
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--lm-path', lm_path,
          '--beam-search-params', 'k=16,alpha=0.15,beta=0,prune=0.0001'])
+    save()
 
     # Streaming serving path on the test split — cumulative norm (no side
     # data) and precomputed train-corpus CMVN (the deployment-standard
@@ -169,11 +183,13 @@ def main(argv=None):
     results['test_streaming'] = run_test_cli(
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--streaming', '--streaming-chunk-frames', '64'])
+    save()
     results['test_streaming_cmvn'] = run_test_cli(
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--streaming', '--streaming-chunk-frames', '64',
          '--streaming-norm', 'cmvn',
          '--streaming-cmvn-manifest', manifests['train']])
+    save()
 
     # Bounded-lookahead mode: commit after 0.96 s of future context
     # instead of the model's full 4.2 s receptive field — the latency/WER
@@ -182,11 +198,13 @@ def main(argv=None):
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--streaming', '--streaming-chunk-frames', '64',
          '--lookahead-frames', '96'])
+    save()
     results['test_streaming_la96_cmvn'] = run_test_cli(
         ['--model-path', args.run_dir, '--test-manifest', manifests['test'],
          '--streaming', '--streaming-chunk-frames', '64',
          '--lookahead-frames', '96', '--streaming-norm', 'cmvn',
          '--streaming-cmvn-manifest', manifests['train']])
+    save()
 
     # Exported artifact: offline f32 and (wav2letter only) full-int8 MXU
     # inference — jasper artifacts are stored f32 (export_serving.py).
@@ -208,9 +226,7 @@ def main(argv=None):
         results['test_artifact_offline_int8full'] = run_test_cli(
             ['--artifact', artifact, '--test-manifest', manifests['test'],
              '--offline', '--int8-full'])
-
-    with open(args.out, 'w') as f:
-        json.dump(results, f, indent=2)
+    save()
     print(json.dumps(results))
     return 0
 
