@@ -89,6 +89,10 @@ def main(argv=None):
         'optimizer': f'novograd lr={args.lr}', 'augment': 'spec_augment',
         'epochs': args.epochs, 'batch_size': args.batch_size,
     }
+    if args.override:
+        # Recipe deviations (e.g. the fast-convergence one-cycle schedule)
+        # must be readable from the result JSON itself.
+        results['extra_overrides'] = list(args.override)
 
     overrides = [
         f'data.train_manifest={manifests["train"]}',
