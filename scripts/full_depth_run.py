@@ -89,10 +89,15 @@ def main(argv=None):
         'optimizer': f'novograd lr={args.lr}', 'augment': 'spec_augment',
         'epochs': args.epochs, 'batch_size': args.batch_size,
     }
-    if args.override:
+    if args.override and not args.skip_train:
         # Recipe deviations (e.g. the fast-convergence one-cycle schedule)
-        # must be readable from the result JSON itself.
+        # must be readable from the result JSON itself. Overrides only
+        # reach the train.py subprocess, so with --skip-train they were
+        # never applied to the evaluated checkpoint — don't record them
+        # as if they had been (round-4 advisor finding).
         results['extra_overrides'] = list(args.override)
+    elif args.override:
+        results['extra_overrides_ignored_skip_train'] = list(args.override)
 
     overrides = [
         f'data.train_manifest={manifests["train"]}',
