@@ -504,7 +504,7 @@ def run_torch_jasper(epoch_batches, val_batches, labels, jax_variables):
 
 
 def run(epochs=20, n_train=96, n_val=32, root='/tmp/w2l_parity_corpus',
-        model='w2l'):
+        model='w2l', seed=0):
     if 'jax' not in sys.modules:
         # Run the JAX side on CPU (like the torch side) unless the caller
         # already initialised a backend; parity needs precision='highest'
@@ -515,7 +515,7 @@ def run(epochs=20, n_train=96, n_val=32, root='/tmp/w2l_parity_corpus',
                                                       epochs)
     if model == 'jasper':
         jax_res, variables = run_jax_jasper(epoch_batches, val_batches,
-                                            labels)
+                                            labels, seed=seed)
         torch_res = run_torch_jasper(epoch_batches, val_batches, labels,
                                      variables)
         workload = (f'jasper parity model (masked separable convs, '
@@ -523,7 +523,8 @@ def run(epochs=20, n_train=96, n_val=32, root='/tmp/w2l_parity_corpus',
                     f'wd={J_WD}), {n_train} synthetic utts, {epochs} '
                     f'epochs, batch {BATCH}')
     else:
-        jax_res, variables = run_jax(epoch_batches, val_batches, labels)
+        jax_res, variables = run_jax(epoch_batches, val_batches, labels,
+                                     seed=seed)
         torch_res = run_torch(epoch_batches, val_batches, labels, variables)
         workload = (f'w2l-{len(LAYERS)}L parity model, {n_train} synthetic '
                     f'utts, {epochs} epochs, batch {BATCH}, SGD lr={LR} '

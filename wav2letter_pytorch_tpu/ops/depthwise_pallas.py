@@ -29,7 +29,13 @@ same contract as flax ``nn.Conv(dtype=bf16)``.
 Parity: tests/test_depthwise_pallas.py checks fwd and grads against
 ``lax.conv_general_dilated`` over odd/even kernels, strides, dilations,
 and channel counts, in interpret mode on CPU and compiled on TPU
-(scripts/run_tpu_checks.py).
+(scripts/run_tpu_checks.py). The on-chip reference runs at
+``precision='highest'``: XLA's DEFAULT grouped-conv lowering itself
+rounds through bf16 MXU passes on some geometries (up to 2.6e-1 dw error
+vs a float64 oracle — benchmarks/dw_precision_oracle.json), while this
+kernel accumulates in f32 and lands within 3e-5 of the oracle on every
+shipped geometry. Round 4 misread that comparison as a Pallas backward
+bug; the oracle study shows the kernel is the MORE precise side.
 """
 
 from __future__ import annotations
@@ -177,15 +183,25 @@ def _dw_pallas_wgrad(x, g, K: int, s: int, d: int, p: int, interpret: bool):
 
 
 def depthwise_conv1d_xla(x, w, stride: int = 1, dilation: int = 1,
-                         padding: int = 0):
-    """Reference path: lax grouped conv (feature_group_count == C)."""
+                         padding: int = 0, precision=None):
+    """Reference path: lax grouped conv (feature_group_count == C).
+
+    NOTE on precision: with the default ``precision=None``, XLA:TPU lowers
+    some grouped-conv geometries (fwd AND the autodiff backward convs)
+    through bf16 MXU passes — measured up to 5.6e-3 fwd / 2.6e-1 dw error
+    vs a float64 host oracle (benchmarks/dw_precision_oracle.json), while
+    the Pallas kernel above is f32-exact (<=3e-5). Pass
+    ``precision='highest'`` when this function serves as a numerical
+    reference; leave the default when it serves as the production
+    fallback (matching the flax conv path's default-precision contract).
+    """
     C = x.shape[-1]
     dn = jax.lax.conv_dimension_numbers(x.shape, (w.shape[0], 1, C),
                                         ('NHC', 'HIO', 'NHC'))
     return jax.lax.conv_general_dilated(
         x, w[:, None, :].astype(x.dtype), window_strides=(stride,),
         padding=[(padding, padding)], rhs_dilation=(dilation,),
-        dimension_numbers=dn, feature_group_count=C)
+        dimension_numbers=dn, feature_group_count=C, precision=precision)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
