@@ -92,6 +92,17 @@ def main(argv=None):
                              'instead of the model\'s full receptive '
                              'field (96 = 0.96 s at 10 ms hop); measures '
                              'the latency/WER trade')
+    parser.add_argument('--lookahead-extrap-frames', type=int, default=0,
+                        help='with --lookahead-frames: extend each window '
+                             'with this many SYNTHESIZED future frames '
+                             '(no added latency) so committed rows sit '
+                             'further from the zero pad boundary')
+    parser.add_argument('--lookahead-extrap-mode', default='reflect',
+                        choices=['reflect', 'repeat'])
+    parser.add_argument('--lookahead-left-frames', type=int, default=None,
+                        help='with --lookahead-frames: past context per '
+                             'window (default: the full one-sided '
+                             'receptive field)')
     parser.add_argument('--streaming-norm', default='cumulative',
                         choices=['cumulative', 'cmvn'],
                         help='feature normalization for --model-path '
@@ -687,9 +698,14 @@ def run_bounded_streaming_eval(args, cfg, trainer, model, decoder, labels,
         specs = _conv_specs_w2l([dict(l) for l in cfg.model.layers][:mid])
     scale = int(model.scaling_factor)
     la = -(-int(args.lookahead_frames) // scale) * scale
+    left = args.lookahead_left_frames
+    if left is not None:
+        left = -(-int(left) // scale) * scale
     sw = BoundedLookaheadStreamer(
         model, variables, build_frontend(cfg.model, dither=0.0), specs,
         chunk_frames=args.streaming_chunk_frames, lookahead_frames=la,
+        left_frames=left, extrap_frames=args.lookahead_extrap_frames,
+        extrap_mode=args.lookahead_extrap_mode,
         **_streaming_norm_kwargs(args, cfg, labels))
     sr = int(cfg.model.audio_conf.sample_rate)
     hop_s = float(cfg.model.audio_conf.window_stride)
@@ -719,7 +735,11 @@ def run_bounded_streaming_eval(args, cfg, trainer, model, decoder, labels,
               'normalization': args.streaming_norm,
               'bounded_lookahead_frames': la,
               'bounded_lookahead_seconds': round(la * hop_s, 3),
+              'left_frames': sw.left_frames,
               'window_frames': sw.window_frames}
+    if args.lookahead_extrap_frames:
+        result['extrap_frames'] = sw.extrap_frames
+        result['extrap_mode'] = sw.extrap_mode
     result.update(acc.ratios())
     print(json.dumps(result))
     return 0

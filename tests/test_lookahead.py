@@ -122,6 +122,48 @@ def test_bounded_lookahead_shape_and_locality(setup):
     np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-3)
 
 
+@pytest.mark.parametrize('mode', ['reflect', 'repeat'])
+def test_extrap_window_shape_and_rows(setup, mode):
+    """Extrapolated windows keep the committed row count/geometry: same
+    shape as offline, rows normalized, and extrap_frames=0 path equal to
+    the default streamer's output."""
+    frontend, model, variables, audio, stats = setup
+    specs = _conv_specs_w2l(LAYERS)
+    sw = BoundedLookaheadStreamer(model, variables, frontend, specs,
+                                  chunk_frames=32, lookahead_frames=16,
+                                  extrap_frames=24, extrap_mode=mode,
+                                  norm='precomputed', norm_stats=stats)
+    got = bounded_stream_logprobs(sw, audio)
+    want = _offline(model, variables, frontend, audio, stats)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_extrap_zero_equals_default(setup):
+    frontend, model, variables, audio, stats = setup
+    specs = _conv_specs_w2l(LAYERS)
+    kw = dict(chunk_frames=32, lookahead_frames=16, norm='precomputed',
+              norm_stats=stats)
+    base = bounded_stream_logprobs(BoundedLookaheadStreamer(
+        model, variables, frontend, specs, **kw), audio)
+    ex0 = bounded_stream_logprobs(BoundedLookaheadStreamer(
+        model, variables, frontend, specs, extrap_frames=0, **kw), audio)
+    np.testing.assert_array_equal(base, ex0)
+
+
+def test_extrap_validation(setup):
+    frontend, model, variables, audio, stats = setup
+    specs = _conv_specs_w2l(LAYERS)
+    with pytest.raises(ValueError):
+        BoundedLookaheadStreamer(model, variables, frontend, specs,
+                                 chunk_frames=32, lookahead_frames=16,
+                                 extrap_mode='linear')
+    with pytest.raises(ValueError):
+        BoundedLookaheadStreamer(model, variables, frontend, specs,
+                                 chunk_frames=8, lookahead_frames=2,
+                                 left_frames=2, extrap_frames=1000)
+
+
 def test_short_stream_finish(setup):
     """A stream shorter than one frontend chunk still flushes correctly."""
     frontend, model, variables, audio, stats = setup

@@ -92,13 +92,24 @@ class BoundedLookaheadStreamer(_FrontendStreaming):
         is committed (multiple of the total stride). THE latency knob.
     left_frames : past context in the window (default: the stack's full
         one-sided receptive field, so past context is exact).
+    extrap_frames / extrap_mode : extend each MID-STREAM window to the
+        right with ``extrap_frames`` synthesized future frames ('reflect'
+        mirrors the real tail, 'repeat' holds the last frame) before the
+        model's SAME padding zero-fills beyond the window. Committed rows
+        then sit ``lookahead + extrap`` frames away from the zero boundary
+        at no added commit latency (the synthesized frames need no real
+        audio). The FINAL window at finish() keeps plain zero padding:
+        there the stream has truly ended and zeros match what the offline
+        model sees past the utterance. WER effect measured in
+        benchmarks/serving_latency.json (bounded_lookahead_wer_curve).
     norm / norm_stats : as in the exact streamers ('cumulative' default).
     """
 
     def __init__(self, model, variables, frontend, conv_specs,
                  chunk_frames: int = 64, lookahead_frames: int = 96,
                  left_frames: int | None = None, norm: str = 'cumulative',
-                 norm_stats=None):
+                 norm_stats=None, extrap_frames: int = 0,
+                 extrap_mode: str = 'reflect'):
         import jax
         import jax.numpy as jnp
 
@@ -115,7 +126,17 @@ class BoundedLookaheadStreamer(_FrontendStreaming):
                              f'stride {self.scale}')
         self.left_frames = left_frames
         self.lookahead_frames = lookahead_frames
-        self.window_frames = left_frames + chunk_frames + lookahead_frames
+        if extrap_mode not in ('reflect', 'repeat'):
+            raise ValueError(f'unknown extrap_mode {extrap_mode!r}')
+        self.extrap_frames = int(extrap_frames)
+        self.extrap_mode = extrap_mode
+        # real (streamed) frames per window; the jitted program sees
+        # real + extrap frames.
+        self.real_window_frames = (left_frames + chunk_frames
+                                   + lookahead_frames)
+        if not 0 <= self.extrap_frames < self.real_window_frames:
+            raise ValueError('extrap_frames must be < left+chunk+lookahead')
+        self.window_frames = self.real_window_frames + self.extrap_frames
         self.num_labels = int(model.num_labels)
 
         # Frontend steady-state carry length (prime consumes what it can;
@@ -175,14 +196,26 @@ class BoundedLookaheadSession:
             self._feats = np.concatenate([self._feats] + outs, axis=1)
 
     def _window(self, upto: int):
-        """Feature window [1, W, M] ending at feature frame ``upto``
-        (exclusive), left-zero-padded at stream start."""
+        """Real feature window [1, left+chunk+la, M] ending at feature
+        frame ``upto`` (exclusive), left-zero-padded at stream start."""
         m = self.m
-        lo = upto - m.window_frames
+        lo = upto - m.real_window_frames
         if lo >= 0:
             return self._feats[:, lo:upto]
         pad = np.zeros((1, -lo, m.feat_dim), np.float32)
         return np.concatenate([pad, self._feats[:, :upto]], axis=1)
+
+    def _extend(self, win):
+        """Append ``extrap_frames`` synthesized future frames (mid-stream
+        windows only; finish() zero-pads instead — the stream has ended)."""
+        m = self.m
+        if not m.extrap_frames:
+            return win
+        if m.extrap_mode == 'repeat':
+            tail = np.repeat(win[:, -1:], m.extrap_frames, axis=1)
+        else:  # reflect about the last real frame
+            tail = win[:, -2:-2 - m.extrap_frames:-1]
+        return np.concatenate([win, tail], axis=1)
 
     def _emit_ready(self):
         m = self.m
@@ -190,7 +223,8 @@ class BoundedLookaheadSession:
         while (self._feats.shape[1]
                >= self._emitted + m.chunk_frames + m.lookahead_frames):
             upto = self._emitted + m.chunk_frames + m.lookahead_frames
-            out = np.asarray(m._win_fn(m._variables_dev, self._window(upto)))
+            window = self._extend(self._window(upto))
+            out = np.asarray(m._win_fn(m._variables_dev, window))
             s, c = m.left_frames // m.scale, m.chunk_frames // m.scale
             outs.append(out[:, s:s + c])
             self._emitted += m.chunk_frames
