@@ -394,6 +394,97 @@ def test_rss_budget_graceful_stop_and_resume(tmp_path):
     ck.close()
 
 
+def test_device_cache_trains_to_budget(tmp_path):
+    """trainer.device_cache=true: the corpus is uploaded once and epochs
+    train from device-resident batches. Exercises bucketed shapes and
+    step-stacked multi-dispatch groups against the cache; the run must
+    complete the full epoch budget with metrics intact."""
+    from wav2letter_pytorch_tpu.training.checkpoint import Checkpointer
+    import train as train_cli
+
+    manifest = _make_corpus(tmp_path, n=6, seed=11)
+    run_dir = tmp_path / 'dc_run'
+    rc = train_cli.main([
+        f'data.train_manifest={manifest}', f'data.val_manifest={manifest}',
+        'data.batch_size=2', 'data.num_length_buckets=2',
+        'model.input_size=32',
+        'model.layers=[{output_size: 24, kernel_size: 7, stride: 2, '
+        'dilation: 1, dropout: 0.1}]',
+        'trainer.device_cache=true', 'trainer.steps_per_dispatch=2',
+        'trainer.max_epochs=3', 'trainer.log_every_n_steps=1',
+        'trainer.string_metrics_interval=1', 'trainer.mesh.data=2',
+        f'trainer.default_root_dir={run_dir}',
+    ])
+    assert rc == 0
+    metrics = (run_dir / 'metrics.csv').read_text()
+    assert 'train_wer' in metrics and 'val_wer' in metrics
+    ck = Checkpointer(f'{run_dir}/checkpoints')
+    assert ck.latest_step() == 3 * 3          # 6 utts / batch 2 = 3 steps
+    ck.close()
+
+
+def test_device_cache_preemption_resume_exact(tmp_path):
+    """Exact-replay invariance holds WITH the device cache: a preempted +
+    resumed device_cache run logs the bit-identical per-step loss sequence
+    as an uninterrupted run (the resume process rebuilds the cache from
+    the loader's deterministic epoch-0 order and replays the same seeded
+    per-epoch batch permutations, skipping already-applied batches)."""
+    import os
+    import signal
+
+    from wav2letter_pytorch_tpu.training.logging import MetricLogger
+    import train as train_cli
+
+    manifest = _make_corpus(tmp_path, n=6, seed=12)
+
+    def base(run_dir):
+        return [
+            f'data.train_manifest={manifest}',
+            f'data.val_manifest={manifest}',
+            'data.batch_size=2', 'data.num_length_buckets=1',
+            'model.input_size=32',
+            'model.layers=[{output_size: 16, kernel_size: 5, stride: 2, '
+            'dilation: 1, dropout: 0.2}]',
+            'trainer.device_cache=true', 'trainer.seed=5',
+            'trainer.max_epochs=4', 'trainer.log_every_n_steps=1',
+            'trainer.string_metrics_interval=0', 'trainer.mesh.data=2',
+            f'trainer.default_root_dir={run_dir}',
+        ]
+
+    def losses(run_dir):
+        out = {}
+        for line in (run_dir / 'metrics.csv').read_text().splitlines():
+            _, step, metric, value = line.split(',')
+            if metric == 'train_loss':
+                out[int(step)] = value          # bit-exact string compare
+        return out
+
+    ref_dir = tmp_path / 'dc_ref'
+    assert train_cli.main(base(ref_dir)) == 0
+
+    # Preempt after the 5th logged train step (mid-epoch 1), then resume.
+    pre_dir = tmp_path / 'dc_pre'
+    fired = []
+    orig_log = MetricLogger.log
+
+    def log_then_preempt(self, step, metrics):
+        orig_log(self, step, metrics)
+        if 'train_loss' in metrics:
+            fired.append(step)
+            if len(fired) == 5:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(MetricLogger, 'log', log_then_preempt)
+        assert train_cli.main(base(pre_dir)) == 0
+    assert len(fired) >= 5
+    assert train_cli.main(base(pre_dir) + ['--resume']) == 0
+
+    ref, pre = losses(ref_dir), losses(pre_dir)
+    assert ref == pre
+    assert len(ref) == 4 * 3
+
+
 def test_preemption_checkpoint_and_resume(tmp_path):
     """SIGTERM mid-training saves a resumable checkpoint at the next step
     boundary and fit() returns cleanly; --resume re-enters the interrupted
