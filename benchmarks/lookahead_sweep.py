@@ -48,6 +48,11 @@ def main(argv=None):
     ap.add_argument('--chunk-frames', type=int, default=64)
     ap.add_argument('--lookaheads', type=int, nargs='+',
                     default=[24, 48, 96, 192])
+    ap.add_argument('--extrap-modes', nargs='*', default=['reflect',
+                                                          'repeat'])
+    ap.add_argument('--extrap-frames', type=int, nargs='*',
+                    default=[64, 192])
+    ap.add_argument('--no-half-left', action='store_true')
     ap.add_argument('--key', default='bounded_lookahead_wer_curve',
                     help='serving_latency.json key to merge under')
     ap.add_argument('--out', default=os.path.join(
@@ -80,8 +85,8 @@ def main(argv=None):
         print(json.dumps({'point': f'la{la}', **r}), flush=True)
 
     # extrapolation variants at the headline K (zero added latency)
-    for mode in ('reflect', 'repeat'):
-        for ex in (64, 192):
+    for mode in args.extrap_modes:
+        for ex in args.extrap_frames:
             r = run_test_cli(base + ['--lookahead-frames', '96',
                                      '--lookahead-extrap-frames', str(ex),
                                      '--lookahead-extrap-mode', mode])
@@ -91,7 +96,8 @@ def main(argv=None):
 
     # left-context variant: half the receptive field of past context
     # (cheaper windows; how much does exact past matter?)
-    full_left = curve['la96'].get('left_frames')
+    full_left = (None if args.no_half_left
+                 else curve.get('la96', {}).get('left_frames'))
     if full_left:
         r = run_test_cli(base + ['--lookahead-frames', '96',
                                  '--lookahead-left-frames',

@@ -57,6 +57,11 @@ def main(argv=None):
                         help='pin the whole pipeline (train, eval, export) '
                              'to the CPU backend in-process')
     parser.add_argument('--skip-train', action='store_true')
+    parser.add_argument('--skip-extras', action='store_true',
+                        help='skip the slow tail evals (bounded-lookahead '
+                             'x2, artifact export/eval) — the core quality '
+                             'chain (greedy/beam/beam+LM/streaming x2) '
+                             'still runs')
     parser.add_argument('--resume-train', action='store_true',
                         help='first training segment starts with --resume '
                              '(continue an interrupted run in run-dir)')
@@ -199,6 +204,10 @@ def main(argv=None):
          '--streaming-norm', 'cmvn',
          '--streaming-cmvn-manifest', manifests['train']])
     save()
+
+    if args.skip_extras:
+        print(json.dumps(results))
+        return 0
 
     # Bounded-lookahead mode: commit after 0.96 s of future context
     # instead of the model's full 4.2 s receptive field — the latency/WER
