@@ -99,7 +99,8 @@ def main(argv=None):
         f'model={args.model}',
         f'model.mid_layers={args.mid_layers}',
         'optimizer=novograd',
-        'data.augment=spec_augment',
+        'data.augment={spec_augment: {freq_masks: 2, time_masks: 2, '
+        'freq_width: 10, time_width: 20}}',
         'trainer.checkpoint.every_n_epochs=1000000',
         'trainer.val_every_n_epochs=1000000',
         'trainer.max_epochs=1000000',
