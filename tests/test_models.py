@@ -214,3 +214,26 @@ def test_jasper_remat_identical_loss_and_grads():
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_jasper_dropout_default_fallback():
+    """model.dropout_default supplies per-block dropout where a block spec
+    omits it (the reference config ships none and its code defaults to 0,
+    jasper.py:449 — memorizing small corpora); explicit per-block values
+    still win."""
+    from wav2letter_pytorch_tpu.config import load_config
+    from wav2letter_pytorch_tpu.training import build_model
+
+    cfg = load_config([
+        'data.train_manifest=u', 'data.val_manifest=u', 'model=jasper',
+        'model.mid_layers=2', 'model.input_size=32',
+        'model.jasper_blocks=[{layer_size: 16, kernel_size: 7}, '
+        '{layer_size: 16, kernel_size: 7, dropout: 0.05}]',
+        '+model.dropout_default=0.3',
+    ])
+    model = build_model(cfg.model, num_labels=29)
+    assert model.dropout_default == 0.3
+    # Effective per-block rates follow the fallback rule.
+    rates = [float(b.get('dropout', model.dropout_default))
+             for b in model.jasper_blocks]
+    assert rates == [0.3, 0.05]

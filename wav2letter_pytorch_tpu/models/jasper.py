@@ -344,6 +344,12 @@ class Jasper(nn.Module):
     precision: str | None = None
     dtype: Any = None
     remat: bool = False
+    # Fallback per-block dropout for blocks that don't set their own
+    # (`+model.dropout_default=0.3`). The reference's config ships no
+    # block dropout and its code defaults to 0 (jasper.py:449), which
+    # memorizes small corpora — NVIDIA's published Jasper/QuartzNet
+    # recipes all train with per-block dropout 0.2-0.4.
+    dropout_default: float = 0.0
 
     @property
     def scaling_factor(self) -> int:
@@ -369,7 +375,7 @@ class Jasper(nn.Module):
                 kernel_size_factor=float(b.get('kernel_size_factor', 1.0)),
                 stride=int(b.get('stride', 1)),
                 dilation=int(b.get('dilation', 1)),
-                dropout=float(b.get('dropout', 0.0)),
+                dropout=float(b.get('dropout', self.dropout_default)),
                 activation=b.get('activation', 'relu'),
                 residual=bool(b.get('residual', True)),
                 groups=int(b.get('groups', 1)),

@@ -57,7 +57,9 @@ def build_model(model_cfg, num_labels: int):
         return Jasper(jasper_blocks=[dict(b) for b in model_cfg['jasper_blocks']],
                       num_labels=num_labels, mid_layers=mid_layers,
                       dtype=dtype, init_mode=init_mode,
-                      remat=bool(model_cfg.get('remat', False)))
+                      remat=bool(model_cfg.get('remat', False)),
+                      dropout_default=float(
+                          model_cfg.get('dropout_default', 0.0)))
     raise ValueError(f'Unknown model name: {name!r} '
                      "(expected 'wav2letter' or 'jasper')")
 
